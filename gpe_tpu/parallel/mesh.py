@@ -1,0 +1,87 @@
+"""Collocation-point data parallelism over a device mesh.
+
+The reference is single-device (SURVEY.md §2.G); the TPU-native scaling axis
+is the collocation batch — the "long context" of a PINN. Design:
+
+- 1-D `Mesh(('data',))`; collocation arrays sharded on their leading axis,
+  params and boundary points replicated.
+- The loss runs under `shard_map`; every quadrature reduction (μ numerator/
+  denominator, ∫|ψ|², mean residual²) is a `jax.lax.psum` over the mesh axis,
+  riding ICI. No other communication exists — gradients of the psum-reduced
+  scalar are automatically correct (the transpose of psum is identity, and
+  replicated params receive summed contributions via the shard_map transpose).
+- Multi-host ready: the same code runs under `jax.distributed.initialize`
+  with a global mesh; nothing here assumes single-process.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+AXIS = "data"
+
+# batch keys replicated across the mesh (tiny boundary/probe sets)
+_REPLICATED_KEYS = ("bx", "base_bval")
+
+
+def make_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+def batch_pspecs(batch: dict, axis: str = AXIS) -> dict:
+    """PartitionSpecs for a problem batch: collocation arrays sharded on the
+    leading axis, boundary data replicated."""
+    return {k: (P() if k in _REPLICATED_KEYS else P(axis)) for k in batch}
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = AXIS) -> dict:
+    """Place batch arrays on the mesh with their canonical shardings."""
+    specs = batch_pspecs(batch, axis)
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in batch.items()}
+
+
+def make_parallel_loss(loss_fn: Callable, mesh: Mesh, batch: dict,
+                       axis: str = AXIS) -> Callable:
+    """Wrap a psum-aware loss (signature loss_fn(params, batch, gamma, scale,
+    axis_name)) in shard_map over the collocation axis.
+
+    Returns sharded_loss(params, batch, gamma, scale) -> (total, aux), with
+    identical (replicated) outputs on every device.
+    """
+    specs = batch_pspecs(batch, axis)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), specs, P(), P()),
+             out_specs=(P(), P()),
+             check_rep=False)
+    def sharded(params, b, gamma, scale):
+        return loss_fn(params, b, gamma, scale, axis_name=axis)
+
+    return sharded
+
+
+def make_parallel_step(loss_fn: Callable, optimizer, mesh: Mesh, batch: dict,
+                       axis: str = AXIS) -> Callable:
+    """Jitted full training step (loss + grad + optimizer update) with the
+    loss evaluated under shard_map. Gradients w.r.t. replicated params come out
+    replicated (shard_map transposes the broadcast into a psum over ICI)."""
+    import optax
+
+    sharded_loss = make_parallel_loss(loss_fn, mesh, batch, axis)
+
+    @jax.jit
+    def step(params, opt_state, b, gamma, scale):
+        (total, aux), grads = jax.value_and_grad(sharded_loss, has_aux=True)(
+            params, b, gamma, scale)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, aux
+
+    return step

@@ -1,0 +1,130 @@
+"""Compiled training loop: `lax.scan` epochs inside one jit, chunked for
+early stopping — the TPU replacement for the reference's Python epoch loop
+(harmonic_pinn_simulation.py:328-400).
+
+Semantics preserved from the reference trainer:
+- gradient step + scheduler each epoch;
+- best-loss state tracked and RESTORED at the end (best_model_state);
+- early stop when total loss ≤ tol OR no improvement for `patience` epochs.
+
+The loop runs in chunks of `check_every` compiled epochs; between chunks the
+host reads two scalars (done flag, best loss) and decides whether to continue.
+Convergence bookkeeping (best params, patience counter, epoch-of-stop) lives
+in the scan carry, so a converged run does not waste device work: once `done`
+is set the parameter update is masked out.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+class FitCarry(NamedTuple):
+    params: Any
+    opt_state: Any
+    best_params: Any
+    best_loss: jnp.ndarray
+    since_improve: jnp.ndarray
+    done: jnp.ndarray          # bool: stopped (tol or patience)
+    stop_epoch: jnp.ndarray    # epoch index at stop (or total epochs)
+    epoch: jnp.ndarray
+
+
+class FitResult(NamedTuple):
+    params: Any                # best params (reference: restore best state)
+    final_params: Any          # last-iterate params (for warm starts)
+    best_loss: float
+    mu: float                  # μ at the final recorded epoch
+    epochs_run: int
+    loss_history: np.ndarray
+    mu_history: np.ndarray
+
+
+@partial(jax.jit, static_argnames=("loss_fn", "optimizer", "check_every", "tol", "patience"))
+def _run_chunk(loss_fn, optimizer, carry: FitCarry, batch, gamma, scale,
+               check_every: int, tol: float, patience: int):
+    def step(c: FitCarry, _):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            c.params, batch, gamma, scale)
+        updates, new_opt = optimizer.update(grads, c.opt_state, c.params)
+        new_params = optax.apply_updates(c.params, updates)
+
+        # freeze once done (early-stopped) — masked update keeps the scan static
+        keep = c.done
+        tree_where = lambda old, new: jax.tree.map(lambda a, b: jnp.where(keep, a, b), old, new)
+        params = tree_where(c.params, new_params)
+        opt_state = tree_where(c.opt_state, new_opt)
+
+        improved = loss < c.best_loss
+        best_loss = jnp.where(improved, loss, c.best_loss)
+        best_params = jax.tree.map(lambda bp, p: jnp.where(improved & ~keep, p, bp),
+                                   c.best_params, c.params)
+        since = jnp.where(improved, 0, c.since_improve + 1)
+
+        now_done = (loss <= tol) | (since >= patience)
+        done = keep | now_done
+        stop_epoch = jnp.where(keep, c.stop_epoch,
+                               jnp.where(now_done, c.epoch, c.stop_epoch))
+        new_c = FitCarry(params, opt_state, best_params, best_loss, since,
+                         done, stop_epoch, c.epoch + 1)
+        return new_c, (loss, aux["mu"])
+
+    return jax.lax.scan(step, carry, None, length=check_every)
+
+
+def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
+        batch, gamma, scale, epochs: int = 5001, tol: float = 1e-5,
+        patience: int = 2000, check_every: int = 512) -> FitResult:
+    """Train until convergence or `epochs`, reference early-stop semantics.
+
+    loss_fn(params, batch, gamma, scale) -> (total, aux with 'mu').
+    Returns best-loss params (restored) plus last-iterate params for
+    continuation warm starts, and per-epoch loss/μ histories.
+    """
+    gamma = jnp.asarray(gamma, jnp.float32)
+    scale = jnp.asarray(scale, jnp.float32)
+    opt_state = optimizer.init(params)
+    carry = FitCarry(
+        params=params, opt_state=opt_state, best_params=params,
+        best_loss=jnp.asarray(jnp.inf, jnp.float32),
+        since_improve=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((), bool),
+        stop_epoch=jnp.asarray(epochs, jnp.int32),
+        epoch=jnp.zeros((), jnp.int32),
+    )
+
+    losses, mus = [], []
+    steps_done = 0
+    while steps_done < epochs:
+        n = min(check_every, epochs - steps_done)
+        # fixed chunk length keeps one compilation; the tail chunk reuses it
+        carry, (l_hist, mu_hist) = _run_chunk(
+            loss_fn, optimizer, carry, batch, gamma, scale, check_every, tol, patience)
+        losses.append(np.asarray(l_hist[:n]))
+        mus.append(np.asarray(mu_hist[:n]))
+        steps_done += n
+        if bool(carry.done):
+            break
+
+    loss_history = np.concatenate(losses) if losses else np.zeros((0,))
+    mu_history = np.concatenate(mus) if mus else np.zeros((0,))
+    stop_epoch = int(carry.stop_epoch)
+    epochs_run = min(stop_epoch, epochs) if bool(carry.done) else steps_done
+    # truncate histories at the stop epoch (post-stop entries are frozen repeats)
+    loss_history = loss_history[: max(epochs_run, 1)]
+    mu_history = mu_history[: max(epochs_run, 1)]
+
+    return FitResult(
+        params=carry.best_params,
+        final_params=carry.params,
+        best_loss=float(carry.best_loss),
+        mu=float(mu_history[-1]) if mu_history.size else 0.0,
+        epochs_run=epochs_run,
+        loss_history=loss_history,
+        mu_history=mu_history,
+    )

@@ -1,0 +1,96 @@
+"""PL-PINN: perturbation-learning continuation training — the reference's
+headline algorithm (train_gpe_model, harmonic_pinn_simulation.py:220-430).
+
+Per (mode, γ-ramp):
+1. pretrain the raw net on the analytic base eigenfunction (γ=0 start);
+2. capture normal_const = max(net(x)) at the γ=0 start; the perturbation is
+   scaled by q/normal_const (q = perturb_const = 0.01) forever after;
+3. for each γ in the sorted ramp: Adam + cosine-warm-restarts + grad clip 1.0,
+   early stop at total loss ≤ tol or patience epochs without improvement,
+   restore best state, warm-start the next γ from the current weights;
+4. record μ (Rayleigh quotient), loss history, epochs-to-converge.
+
+TPU design: one compiled chunked scan serves every (mode, γ) — γ and scale are
+traced scalars, so the 201-step ramp reuses a single compilation.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpe_tpu.models import mlp
+from gpe_tpu.train.loop import fit
+from gpe_tpu.train.optimizers import make_optimizer
+from gpe_tpu.train.pretrain import pretrain_to_base
+from gpe_tpu.train.problem import GPESpec, base_triple, make_batch, make_loss_fn
+from gpe_tpu.train.schedules import cosine_warm_restarts
+
+
+class PLPINNResult(NamedTuple):
+    params_by_mode: dict        # mode -> {gamma: params pytree (best state)}
+    mu_table: dict              # mode -> list[(gamma, mu)]
+    training_history: dict      # mode -> {gamma: {"loss": np.ndarray, "mu": np.ndarray}}
+    constant_history: dict      # mode -> normal_const
+    epochs_history: dict        # mode -> {gamma: epochs_run}
+
+
+def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
+                 tol: float = 1e-5, patience: int = 2000, perturb_const: float = 0.01,
+                 lr: float = 1e-3, seed: int = 0, pretrain_epochs: int = 2000,
+                 check_every: int = 512, keep_params: bool = True,
+                 verbose: bool = False) -> PLPINNResult:
+    """Run the PL-PINN continuation sweep. Reference-parity entry point."""
+    gamma_values = sorted(float(g) for g in gamma_values)
+    loss_fn = make_loss_fn(spec)
+
+    params_by_mode, mu_table, training_history = {}, {}, {}
+    constant_history, epochs_history = {}, {}
+
+    for mi, mode in enumerate(modes):
+        batch = make_batch(spec, mode)
+        key = jax.random.PRNGKey(seed + 1000 * mi)
+        params = mlp.init_mlp(key, spec.layers, "xavier_uniform")
+
+        if spec.use_perturbation:
+            # Pretrain raw net to the analytic base (γ=0 start of the ramp).
+            target = np.asarray(base_triple(spec, mode, batch["x"]).value)
+            params, pre_mse = pretrain_to_base(
+                params, batch["x"], target, spec.activation, epochs=pretrain_epochs, lr=1e-3)
+            if verbose:
+                print(f"mode {mode}: pretrain MSE {pre_mse:.3e}")
+            # normal_const: max of raw net output at the start (reference :333)
+            normal_const = float(jnp.max(mlp.mlp_apply(params, batch["x"], spec.activation)))
+            scale = perturb_const / normal_const
+        else:
+            normal_const = 1.0
+            scale = 1.0
+        constant_history[mode] = normal_const
+
+        mus, by_gamma_params, by_gamma_hist, by_gamma_epochs = [], {}, {}, {}
+        for gamma in gamma_values:
+            optimizer = make_optimizer(
+                "adam", cosine_warm_restarts(lr, T_0=200, T_mult=2, eta_min=1e-6),
+                clip_norm=1.0)
+            res = fit(loss_fn, optimizer, params, batch, gamma, scale,
+                      epochs=epochs, tol=tol, patience=patience, check_every=check_every)
+            params = res.final_params          # warm start for the next γ
+            mus.append((gamma, res.mu))
+            if keep_params:
+                by_gamma_params[gamma] = jax.tree.map(np.asarray, res.params)
+            by_gamma_hist[gamma] = {"loss": res.loss_history, "mu": res.mu_history}
+            by_gamma_epochs[gamma] = res.epochs_run
+            if verbose:
+                print(f"mode {mode} γ={gamma:g}: μ={res.mu:.6f} "
+                      f"loss={res.best_loss:.3e} epochs={res.epochs_run}")
+
+        params_by_mode[mode] = by_gamma_params
+        mu_table[mode] = mus
+        training_history[mode] = by_gamma_hist
+        epochs_history[mode] = by_gamma_epochs
+
+    return PLPINNResult(params_by_mode, mu_table, training_history,
+                        constant_history, epochs_history)

@@ -1,0 +1,66 @@
+"""Sharded loss/step vs single-device reference on the 8-device CPU mesh."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gpe_tpu.models import mlp
+from gpe_tpu.parallel import make_mesh, make_parallel_loss, make_parallel_step, shard_batch
+from gpe_tpu.train import GPESpec, make_batch, make_loss_fn, make_optimizer
+
+
+def _setup(n_points=512, dim=1):
+    spec = GPESpec(n_points=n_points, dim=dim, layers=(dim, 16, 16, 1))
+    batch = make_batch(spec, 0)
+    loss_fn = make_loss_fn(spec)
+    params = mlp.init_mlp(jax.random.PRNGKey(0), spec.layers)
+    return spec, batch, loss_fn, params
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_parallel_loss_matches_single_device():
+    spec, batch, loss_fn, params = _setup()
+    mesh = make_mesh(8)
+    sbatch = shard_batch(batch, mesh)
+    ploss = make_parallel_loss(loss_fn, mesh, batch)
+
+    t_ref, aux_ref = loss_fn(params, batch, jnp.float32(1.0), jnp.float32(0.01))
+    t_par, aux_par = ploss(params, sbatch, jnp.float32(1.0), jnp.float32(0.01))
+    np.testing.assert_allclose(float(t_par), float(t_ref), rtol=1e-5)
+    np.testing.assert_allclose(float(aux_par["mu"]), float(aux_ref["mu"]), rtol=1e-5)
+
+
+def test_parallel_step_matches_single_device():
+    spec, batch, loss_fn, params = _setup()
+    mesh = make_mesh(8)
+    sbatch = shard_batch(batch, mesh)
+    opt = make_optimizer("adam", 1e-3, clip_norm=1.0)
+    pstep = make_parallel_step(loss_fn, opt, mesh, batch)
+
+    import optax
+
+    @jax.jit
+    def ref_step(p, s, b, g, sc):
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, b, g, sc)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, total
+
+    s0 = opt.init(params)
+    p_par, _, t_par, _ = pstep(params, s0, sbatch, jnp.float32(0.5), jnp.float32(0.01))
+    p_ref, _, t_ref = ref_step(params, s0, batch, jnp.float32(0.5), jnp.float32(0.01))
+    np.testing.assert_allclose(float(t_par), float(t_ref), rtol=1e-5)
+    for (wp, bp), (wr, br) in zip(p_par, p_ref):
+        np.testing.assert_allclose(np.asarray(wp), np.asarray(wr), rtol=1e-4, atol=1e-7)
+
+
+def test_parallel_2d():
+    spec, batch, loss_fn, params = _setup(n_points=24, dim=2)  # 576 pts, 576%8==0
+    mesh = make_mesh(8)
+    sbatch = shard_batch(batch, mesh)
+    ploss = make_parallel_loss(loss_fn, mesh, batch)
+    t_ref, _ = loss_fn(params, batch, jnp.float32(10.0), jnp.float32(0.01))
+    t_par, _ = ploss(params, sbatch, jnp.float32(10.0), jnp.float32(0.01))
+    np.testing.assert_allclose(float(t_par), float(t_ref), rtol=1e-5)
