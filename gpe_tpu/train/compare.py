@@ -1,0 +1,134 @@
+"""Method comparison: PL-PINN vs vanilla PINN vs curriculum under an identical
+budget (reference D9: train_single_model / compare_pl_pinn_vs_vanilla,
+final/refine/plot_harmonic_potential_at_ground_state.py:1060-1198), and the
+multi-seed statistical runner (D10: train_multiple_runs,
+plot_box_potential_at_ground_state_multiple_runs.py:987-1222).
+
+TPU design: the multi-seed axis is vmapped (fit_ensemble) — all seeds train in
+one compiled program instead of the reference's sequential loop. Aggregation
+reproduces the reference protocol: success-threshold filtering, then
+median ± std across surviving runs.
+"""
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpe_tpu.models import mlp
+from gpe_tpu.train.loop import fit, fit_ensemble
+from gpe_tpu.train.optimizers import make_optimizer
+from gpe_tpu.train.pretrain import pretrain_to_base
+from gpe_tpu.train.problem import GPESpec, base_triple, make_batch, make_loss_fn
+from gpe_tpu.train.schedules import cosine_warm_restarts
+
+
+class MethodRun(NamedTuple):
+    mu: float
+    best_loss: float
+    epochs_run: int
+    loss_history: np.ndarray
+    mu_history: np.ndarray
+    params: any
+
+
+def train_single_model(spec: GPESpec, gamma: float, mode: int = 0,
+                       use_perturbation: bool = True, epochs: int = 5001,
+                       tol: float = 1e-5, patience: int = 2000,
+                       perturb_const: float = 0.01, lr: float = 1e-3,
+                       seed: int = 42, pretrain_epochs: int = 2000,
+                       check_every: int = 512) -> MethodRun:
+    """One (method, γ, mode) training run with the reference budget."""
+    spec = replace(spec, use_perturbation=use_perturbation)
+    batch = make_batch(spec, mode)
+    loss_fn = make_loss_fn(spec)
+    params = mlp.init_mlp(jax.random.PRNGKey(seed), spec.layers, "xavier_uniform")
+    if use_perturbation:
+        target = np.asarray(base_triple(spec, mode, batch["x"]).value)
+        params, _ = pretrain_to_base(params, batch["x"], target, spec.activation,
+                                     epochs=pretrain_epochs)
+        const = float(jnp.max(mlp.mlp_apply(params, batch["x"], spec.activation)))
+        scale = perturb_const / const
+    else:
+        scale = 1.0
+    opt = make_optimizer("adam", cosine_warm_restarts(lr, 200, 2, 1e-6), clip_norm=1.0)
+    res = fit(loss_fn, opt, params, batch, gamma, scale, epochs=epochs, tol=tol,
+              patience=patience, check_every=check_every)
+    return MethodRun(res.mu, res.best_loss, res.epochs_run, res.loss_history,
+                     res.mu_history, res.params)
+
+
+def compare_methods(spec: GPESpec, gamma: float, mode: int = 0,
+                    mu_ref: float | None = None, methods=("pl_pinn", "vanilla"),
+                    **kwargs) -> dict:
+    """Train each method with the same budget; return per-method results and
+    eigenvalue errors vs mu_ref (the reference's paper_style_results table)."""
+    out = {}
+    for m in methods:
+        run = train_single_model(spec, gamma, mode,
+                                 use_perturbation=(m == "pl_pinn"), **kwargs)
+        entry = {"mu": run.mu, "best_loss": run.best_loss,
+                 "epochs": run.epochs_run, "loss_history": run.loss_history}
+        if mu_ref is not None:
+            entry["abs_error"] = abs(run.mu - mu_ref)
+            entry["rel_error"] = abs(run.mu - mu_ref) / abs(mu_ref)
+        out[m] = entry
+    return out
+
+
+def train_multiple_runs(spec: GPESpec, gamma: float, mode: int = 0,
+                        n_runs: int = 5, base_seed: int = 42,
+                        use_perturbation: bool = True, epochs: int = 5001,
+                        tol: float = 1e-5, patience: int = 2000,
+                        perturb_const: float = 0.01, lr: float = 1e-3,
+                        pretrain_epochs: int = 2000, check_every: int = 512,
+                        success_threshold: float | None = None) -> dict:
+    """Multi-seed statistical run, vmapped over seeds (reference protocol:
+    seeds 42+i, truncate-to-min histories, success filtering, median±std)."""
+    spec = replace(spec, use_perturbation=use_perturbation)
+    batch = make_batch(spec, mode)
+    loss_fn = make_loss_fn(spec)
+
+    seeds = [base_seed + i for i in range(n_runs)]
+    params_list = []
+    scales = []
+    for s in seeds:
+        p = mlp.init_mlp(jax.random.PRNGKey(s), spec.layers, "xavier_uniform")
+        if use_perturbation:
+            target = np.asarray(base_triple(spec, mode, batch["x"]).value)
+            p, _ = pretrain_to_base(p, batch["x"], target, spec.activation,
+                                    epochs=pretrain_epochs)
+            const = float(jnp.max(mlp.mlp_apply(p, batch["x"], spec.activation)))
+            scales.append(perturb_const / const)
+        else:
+            scales.append(1.0)
+        params_list.append(p)
+    params_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+    scale = float(np.mean(scales))
+
+    opt = make_optimizer("adam", cosine_warm_restarts(lr, 200, 2, 1e-6), clip_norm=1.0)
+    ens = fit_ensemble(loss_fn, opt, params_batch, batch, gamma, scale,
+                       epochs=epochs, tol=tol, patience=patience,
+                       check_every=check_every)
+
+    ok = np.ones(n_runs, dtype=bool)
+    if success_threshold is not None:
+        ok = ens.best_loss <= success_threshold
+        if not ok.any():          # the reference falls back to all runs
+            ok = np.ones(n_runs, dtype=bool)
+    mus = ens.mu[ok]
+    losses = ens.loss_history[ok]
+    return {
+        "mu_median": float(np.median(mus)),
+        "mu_std": float(np.std(mus)),
+        "mu_runs": ens.mu,
+        "best_losses": ens.best_loss,
+        "epochs_run": ens.epochs_run,
+        "success_mask": ok,
+        "loss_median": np.median(losses, axis=0),
+        "loss_std": np.std(losses, axis=0),
+        "seeds": seeds,
+    }

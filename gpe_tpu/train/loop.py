@@ -45,12 +45,15 @@ class FitResult(NamedTuple):
     mu_history: np.ndarray
 
 
-@partial(jax.jit, static_argnames=("loss_fn", "optimizer", "check_every", "tol", "patience"))
+@partial(jax.jit, static_argnames=("loss_fn", "optimizer", "check_every", "tol",
+                                   "patience", "scale_schedule"))
 def _run_chunk(loss_fn, optimizer, carry: FitCarry, batch, gamma, scale,
-               check_every: int, tol: float, patience: int):
+               check_every: int, tol: float, patience: int,
+               scale_schedule=None):
     def step(c: FitCarry, _):
+        s = scale if scale_schedule is None else scale_schedule(c.epoch)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            c.params, batch, gamma, scale)
+            c.params, batch, gamma, s)
         updates, new_opt = optimizer.update(grads, c.opt_state, c.params)
         new_params = optax.apply_updates(c.params, updates)
 
@@ -77,20 +80,9 @@ def _run_chunk(loss_fn, optimizer, carry: FitCarry, batch, gamma, scale,
     return jax.lax.scan(step, carry, None, length=check_every)
 
 
-def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
-        batch, gamma, scale, epochs: int = 5001, tol: float = 1e-5,
-        patience: int = 2000, check_every: int = 512) -> FitResult:
-    """Train until convergence or `epochs`, reference early-stop semantics.
-
-    loss_fn(params, batch, gamma, scale) -> (total, aux with 'mu').
-    Returns best-loss params (restored) plus last-iterate params for
-    continuation warm starts, and per-epoch loss/μ histories.
-    """
-    gamma = jnp.asarray(gamma, jnp.float32)
-    scale = jnp.asarray(scale, jnp.float32)
-    opt_state = optimizer.init(params)
-    carry = FitCarry(
-        params=params, opt_state=opt_state, best_params=params,
+def _init_carry(optimizer, params, epochs):
+    return FitCarry(
+        params=params, opt_state=optimizer.init(params), best_params=params,
         best_loss=jnp.asarray(jnp.inf, jnp.float32),
         since_improve=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
@@ -98,13 +90,31 @@ def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
         epoch=jnp.zeros((), jnp.int32),
     )
 
+
+def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
+        batch, gamma, scale, epochs: int = 5001, tol: float = 1e-5,
+        patience: int = 2000, check_every: int = 512,
+        scale_schedule=None) -> FitResult:
+    """Train until convergence or `epochs`, reference early-stop semantics.
+
+    loss_fn(params, batch, gamma, scale) -> (total, aux with 'mu').
+    Returns best-loss params (restored) plus last-iterate params for
+    continuation warm starts, and per-epoch loss/μ histories.
+    `scale_schedule` (epoch -> scale, jnp-traceable) overrides `scale` for
+    curriculum-style α-decay mixing.
+    """
+    gamma = jnp.asarray(gamma, jnp.float32)
+    scale = jnp.asarray(scale, jnp.float32)
+    carry = _init_carry(optimizer, params, epochs)
+
     losses, mus = [], []
     steps_done = 0
     while steps_done < epochs:
         n = min(check_every, epochs - steps_done)
         # fixed chunk length keeps one compilation; the tail chunk reuses it
         carry, (l_hist, mu_hist) = _run_chunk(
-            loss_fn, optimizer, carry, batch, gamma, scale, check_every, tol, patience)
+            loss_fn, optimizer, carry, batch, gamma, scale, check_every, tol,
+            patience, scale_schedule)
         losses.append(np.asarray(l_hist[:n]))
         mus.append(np.asarray(mu_hist[:n]))
         steps_done += n
@@ -124,6 +134,64 @@ def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
         final_params=carry.params,
         best_loss=float(carry.best_loss),
         mu=float(mu_history[-1]) if mu_history.size else 0.0,
+        epochs_run=epochs_run,
+        loss_history=loss_history,
+        mu_history=mu_history,
+    )
+
+
+class EnsembleFitResult(NamedTuple):
+    params: Any                # best params, leading axis = run
+    final_params: Any
+    best_loss: np.ndarray      # (R,)
+    mu: np.ndarray             # (R,) μ at last epoch
+    epochs_run: np.ndarray     # (R,)
+    loss_history: np.ndarray   # (R, T)
+    mu_history: np.ndarray     # (R, T)
+
+
+def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
+                 params_batch, batch, gamma, scale, epochs: int = 5001,
+                 tol: float = 1e-5, patience: int = 2000,
+                 check_every: int = 512) -> EnsembleFitResult:
+    """vmapped multi-run training — R seeds (or modes) advance in ONE compiled
+    program, turning the reference's sequential 5-seed loop
+    (plot_box_potential_at_ground_state_multiple_runs.py:987-1053) into a
+    single batched device computation. Per-run early stopping is carried as a
+    done-mask; the host loop exits when every run has stopped.
+
+    params_batch: pytree with leading run axis R on every leaf.
+    """
+    gamma = jnp.asarray(gamma, jnp.float32)
+    scale = jnp.asarray(scale, jnp.float32)
+    R = jax.tree.leaves(params_batch)[0].shape[0]
+    carry = jax.vmap(lambda p: _init_carry(optimizer, p, epochs))(params_batch)
+
+    run_chunk = jax.vmap(
+        lambda c: _run_chunk(loss_fn, optimizer, c, batch, gamma, scale,
+                             check_every, tol, patience))
+
+    losses, mus = [], []
+    steps_done = 0
+    while steps_done < epochs:
+        n = min(check_every, epochs - steps_done)
+        carry, (l_hist, mu_hist) = run_chunk(carry)
+        losses.append(np.asarray(l_hist[:, :n]))
+        mus.append(np.asarray(mu_hist[:, :n]))
+        steps_done += n
+        if bool(jnp.all(carry.done)):
+            break
+
+    loss_history = np.concatenate(losses, axis=1)
+    mu_history = np.concatenate(mus, axis=1)
+    stop = np.asarray(carry.stop_epoch)
+    done = np.asarray(carry.done)
+    epochs_run = np.where(done, np.minimum(stop, epochs), steps_done)
+    return EnsembleFitResult(
+        params=carry.best_params,
+        final_params=carry.params,
+        best_loss=np.asarray(carry.best_loss),
+        mu=mu_history[:, -1] if mu_history.size else np.zeros((R,)),
         epochs_run=epochs_run,
         loss_history=loss_history,
         mu_history=mu_history,

@@ -77,7 +77,10 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
                 clip_norm=1.0)
             res = fit(loss_fn, optimizer, params, batch, gamma, scale,
                       epochs=epochs, tol=tol, patience=patience, check_every=check_every)
-            params = res.final_params          # warm start for the next γ
+            # Warm-start from the restored best state (the reference loads
+            # best_model_state before handing the model to the next γ,
+            # harmonic_pinn_simulation.py:402-404,427).
+            params = res.params
             mus.append((gamma, res.mu))
             if keep_params:
                 by_gamma_params[gamma] = jax.tree.map(np.asarray, res.params)

@@ -1,0 +1,80 @@
+"""Imaginary-time (gradient-flow) ground-truth GPE solver, split-step Fourier.
+
+The robust oracle for strong nonlinearity, where plain eigensolver-SCF
+oscillates: propagate ψ ← e^(−τH[ψ])ψ with Strang splitting
+(half potential+nonlinear, full kinetic in Fourier space, half potential),
+renormalizing each step; μ = ∫ c|∇ψ|² + Vψ² + γ|ψ|^(p+1) dx at convergence.
+
+BASELINE.json: "Solutions must match ... Thomas-Fermi and imaginary-time
+ground truths." Works in 1D and 2D on uniform periodic-padded grids (states
+decay to machine zero at the box edge, so FFT wrap-around is negligible).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _k_grid(n: int, dx: float) -> np.ndarray:
+    return 2.0 * np.pi * np.fft.fftfreq(n, d=dx)
+
+
+def imaginary_time_gpe(V: np.ndarray, dx: float, gamma: float,
+                       kinetic: float = 1.0, p: float = 3.0,
+                       tau: float = 5e-3, steps: int = 20000,
+                       tol: float = 1e-12, psi0: np.ndarray | None = None):
+    """Ground state of −c·Δψ + Vψ + γ|ψ|^(p−1)ψ = μψ with ∫|ψ|² = 1.
+
+    V: (n,) for 1D or (nx, ny) for 2D (same spacing dx per axis).
+    Returns (mu, psi). tol is on the per-step μ change.
+    """
+    dim = V.ndim
+    vol = dx**dim
+    if psi0 is None:
+        psi = np.exp(-np.asarray(V) / (2.0 * max(kinetic, 1e-6)))
+    else:
+        psi = np.asarray(psi0, dtype=float).copy()
+    psi /= np.sqrt(np.sum(psi * psi) * vol)
+
+    if dim == 1:
+        k2 = _k_grid(V.shape[0], dx) ** 2
+        fft, ifft = np.fft.fft, np.fft.ifft
+    else:
+        kx = _k_grid(V.shape[0], dx)
+        ky = _k_grid(V.shape[1], dx)
+        k2 = kx[:, None] ** 2 + ky[None, :] ** 2
+        fft, ifft = np.fft.fft2, np.fft.ifft2
+
+    kin_prop = np.exp(-tau * kinetic * k2)
+    mu_prev = np.inf
+    for it in range(steps):
+        dens_pot = V + gamma * np.abs(psi) ** (p - 1.0)
+        psi = psi * np.exp(-0.5 * tau * dens_pot)
+        psi = np.real(ifft(fft(psi) * kin_prop))
+        dens_pot = V + gamma * np.abs(psi) ** (p - 1.0)
+        psi = psi * np.exp(-0.5 * tau * dens_pot)
+        psi /= np.sqrt(np.sum(psi * psi) * vol)
+
+        if it % 50 == 0 or it == steps - 1:
+            mu = _chemical_potential(psi, V, dx, gamma, kinetic, p)
+            if abs(mu - mu_prev) < tol * max(1.0, abs(mu)):
+                return mu, psi
+            mu_prev = mu
+    return mu_prev, psi
+
+
+def _chemical_potential(psi, V, dx, gamma, kinetic, p=3.0):
+    """μ = ∫ c|∇ψ|² + Vψ² + γ|ψ|^(p+1) (spectral gradient, ∫|ψ|²=1)."""
+    dim = psi.ndim
+    vol = dx**dim
+    if dim == 1:
+        k = _k_grid(psi.shape[0], dx)
+        grad2 = np.abs(np.fft.ifft(1j * k * np.fft.fft(psi))) ** 2
+    else:
+        kx = _k_grid(psi.shape[0], dx)[:, None]
+        ky = _k_grid(psi.shape[1], dx)[None, :]
+        f = np.fft.fft2(psi)
+        gx = np.fft.ifft2(1j * kx * f)
+        gy = np.fft.ifft2(1j * ky * f)
+        grad2 = np.abs(gx) ** 2 + np.abs(gy) ** 2
+    dens = kinetic * grad2 + V * psi**2 + gamma * np.abs(psi) ** (p + 1.0)
+    return float(np.sum(dens) * vol)
