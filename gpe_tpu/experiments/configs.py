@@ -1,0 +1,139 @@
+"""Experiment registry — every reference `__main__` constant block becomes a
+named config (SURVEY.md §5 "Config / flag system": the reference hard-codes
+constants at e.g. harmonic_pinn_simulation.py:963-1002; here they are
+dataclass fields addressable from the CLI).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from gpe_tpu.train.problem import GPESpec
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    spec: GPESpec
+    gamma_values: tuple = (0.0,)
+    beta_values: tuple = ()              # two-stage runs
+    modes: tuple = (0,)
+    epochs: int = 5001
+    tol: float = 1e-5
+    patience: int = 2000
+    perturb_const: float = 0.01
+    lr: float = 1e-3
+    pretrain_epochs: int = 2000
+    n_runs: int = 1                      # >1 → multi-seed statistical protocol
+    seed: int = 0
+    rebase: bool = False
+    algorithm: str = "plpinn"            # plpinn | two_stage | compare | curriculum
+    mu_exact_fn: str | None = None       # oracle for error tables
+
+
+def _gammas(n: int, step: float = 0.5, start: float = 0.0):
+    return tuple(start + k * step for k in range(n))
+
+
+_PAPER_1D = GPESpec(lb=-10.0, ub=10.0, n_points=4000, layers=(1, 64, 64, 64, 1),
+                    activation="shifted_tanh", potential="harmonic",
+                    basis="hermite", p=3.0, kinetic=1.0, nonlinearity="power",
+                    bc_weight=10.0, norm_weight=20.0)
+
+EXPERIMENTS: dict[str, ExperimentConfig] = {}
+
+
+def _register(cfg: ExperimentConfig):
+    EXPERIMENTS[cfg.name] = cfg
+    return cfg
+
+
+# --- the reference paper experiments (final/refine drivers) -----------------
+
+_register(ExperimentConfig(
+    name="harmonic_paper",                       # harmonic_pinn_simulation.py main
+    spec=_PAPER_1D, gamma_values=_gammas(201), modes=(0, 1, 2, 3, 4, 5)))
+
+_register(ExperimentConfig(
+    name="harmonic_quick",                       # reduced ramp for smoke runs
+    spec=_PAPER_1D, gamma_values=_gammas(21), modes=(0,), epochs=2001))
+
+_register(ExperimentConfig(
+    name="box_paper",                            # box_pinn_simulation.py
+    spec=replace(_PAPER_1D, lb=0.0, ub=1.0, potential="box", basis="box",
+                 hard_bc=True),
+    gamma_values=_gammas(201), modes=(0, 1)))
+
+_register(ExperimentConfig(
+    name="gravity_well_paper",                   # gravity_well_pinn_simulation.py
+    spec=replace(_PAPER_1D, lb=0.0, ub=35.0, potential="linear", basis="airy"),
+    gamma_values=_gammas(401, 0.25), modes=(0, 1)))
+
+_register(ExperimentConfig(
+    name="gaussian_paper",
+    spec=replace(_PAPER_1D, potential="gaussian"),
+    gamma_values=_gammas(201), modes=(0,)))
+
+_register(ExperimentConfig(
+    name="harmonic_negative_gamma",              # ..._negative_interaction_strength.py
+    spec=_PAPER_1D, gamma_values=tuple(-0.5 * k for k in range(81)), modes=(0,)))
+
+_register(ExperimentConfig(
+    name="harmonic_p4",
+    spec=replace(_PAPER_1D, p=4.0), gamma_values=_gammas(201), modes=(0,)))
+
+_register(ExperimentConfig(
+    name="harmonic_p8",
+    spec=replace(_PAPER_1D, p=8.0), gamma_values=_gammas(201), modes=(0,)))
+
+_register(ExperimentConfig(
+    name="harmonic_p16",
+    spec=replace(_PAPER_1D, p=16.0), gamma_values=_gammas(201), modes=(0,)))
+
+_register(ExperimentConfig(
+    name="two_stage_beta_gamma",                 # test_perturbing_gamma_and_beta.py
+    spec=_PAPER_1D, algorithm="two_stage",
+    beta_values=tuple(1.0 + 0.1 * k for k in range(11)),
+    gamma_values=_gammas(21)))
+
+_register(ExperimentConfig(
+    name="compare_harmonic_mode0",               # plot_harmonic_potential_at_ground_state.py
+    spec=_PAPER_1D, algorithm="compare", gamma_values=(100.0,), modes=(0,)))
+
+_register(ExperimentConfig(
+    name="multirun_box_mode0",                   # ..._multiple_runs.py (5 seeds)
+    spec=replace(_PAPER_1D, lb=0.0, ub=1.0, potential="box", basis="box",
+                 hard_bc=True),
+    algorithm="compare", gamma_values=(100.0,), modes=(0,), n_runs=5))
+
+# --- BASELINE.json configs ---------------------------------------------------
+
+_register(ExperimentConfig(
+    name="linear_1d_sanity",                     # config #1: γ=0, μ=0.5 (−½Δ+½x²)
+    spec=replace(_PAPER_1D, n_points=2000, potential_kwargs=(("a", 0.5),),
+                 kinetic=0.5),
+    gamma_values=(0.0,), epochs=3000))
+
+_register(ExperimentConfig(
+    name="gpe1d_tf",                             # config #2: β∈{10,100} vs TF
+    spec=replace(_PAPER_1D, n_points=2000, lb=-14.0, ub=14.0,
+                 nonlinearity="abs_power"),
+    gamma_values=(0.0, 2.0, 5.0, 10.0, 20.0, 40.0, 70.0, 100.0),
+    epochs=8000, rebase=True))
+
+_register(ExperimentConfig(
+    name="gpe2d_ground_state",                   # config #3: 2D, β=100, 50k pts
+    spec=GPESpec(dim=2, lb=-8.0, ub=8.0, n_points=224,
+                 layers=(2, 128, 128, 128, 1), activation="shifted_tanh",
+                 potential="harmonic", potential_kwargs=(("a", 0.5),),
+                 basis="hermite", kinetic=0.5, nonlinearity="abs_power",
+                 bc_weight=10.0, norm_weight=20.0),
+    gamma_values=(0.0, 5.0, 10.0, 20.0, 35.0, 50.0, 70.0, 100.0),
+    epochs=8000, rebase=True))
+
+_register(ExperimentConfig(
+    name="gpe2d_lattice",                        # config #4: optical lattice
+    spec=GPESpec(dim=2, lb=-8.0, ub=8.0, n_points=128,
+                 layers=(2, 128, 128, 128, 1), activation="shifted_tanh",
+                 potential="optical_lattice", potential_kwargs=(("V0", 4.0), ("k", 0.7853981633974483)),
+                 basis="hermite", kinetic=0.5, nonlinearity="abs_power"),
+    gamma_values=(0.0, 5.0, 10.0, 20.0), epochs=8000, rebase=True))

@@ -1,0 +1,108 @@
+"""CLI experiment runner: `python -m gpe_tpu.experiments.run <name> [options]`.
+
+The reference has no CLI (constants in __main__ blocks, SURVEY.md §5); this
+exposes every registered experiment with train-or-load bundle semantics,
+error tables vs exact/oracle eigenvalues, and the plotting suite.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="gpe_tpu experiment runner")
+    ap.add_argument("name", help="experiment name (see --list)")
+    ap.add_argument("--list", action="store_true", help="list experiments and exit")
+    ap.add_argument("--train", action="store_true", help="force fresh training")
+    ap.add_argument("--out", default="runs", help="output directory")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--modes", type=int, nargs="*", default=None)
+    ap.add_argument("--gammas", type=float, nargs="*", default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--plots", action="store_true", help="regenerate plots only")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from gpe_tpu.experiments.configs import EXPERIMENTS
+    from gpe_tpu.io import load_bundle, save_bundle
+    from gpe_tpu.train import train_plpinn
+    from gpe_tpu.train.two_stage import train_two_stage
+    from gpe_tpu.train.compare import compare_methods, train_multiple_runs
+    from gpe_tpu import viz
+
+    if args.name == "list" or args.list:
+        for k, v in EXPERIMENTS.items():
+            print(f"{k:32s} algo={v.algorithm:10s} modes={v.modes} "
+                  f"γ∈[{v.gamma_values[0]:g},{v.gamma_values[-1]:g}]×{len(v.gamma_values)}")
+        return 0
+
+    cfg = EXPERIMENTS[args.name]
+    if args.epochs is not None:
+        cfg = dataclasses.replace(cfg, epochs=args.epochs)
+    if args.modes is not None:
+        cfg = dataclasses.replace(cfg, modes=tuple(args.modes))
+    if args.gammas is not None:
+        cfg = dataclasses.replace(cfg, gamma_values=tuple(args.gammas))
+    if args.seed is not None:
+        cfg = dataclasses.replace(cfg, seed=args.seed)
+
+    out_dir = os.path.join(args.out, cfg.name)
+    os.makedirs(out_dir, exist_ok=True)
+    bundle_path = os.path.join(out_dir, "bundle.pkl")
+
+    t0 = time.time()
+    if cfg.algorithm == "plpinn":
+        if args.train or not os.path.exists(bundle_path):
+            res = train_plpinn(cfg.spec, cfg.gamma_values, cfg.modes,
+                               epochs=cfg.epochs, tol=cfg.tol, patience=cfg.patience,
+                               perturb_const=cfg.perturb_const, lr=cfg.lr,
+                               seed=cfg.seed, pretrain_epochs=cfg.pretrain_epochs,
+                               rebase=cfg.rebase, verbose=True)
+            save_bundle(bundle_path, res, cfg.spec)
+        bundle = load_bundle(bundle_path)
+        viz.use_publication_style()
+        viz.plot_mu_vs_gamma(bundle["mu_table"], out_dir)
+        viz.plot_loss_history(bundle["training_history"], out_dir)
+        viz.plot_epochs_heatmap(bundle["epochs_history"], out_dir)
+        print(json.dumps({"experiment": cfg.name,
+                          "mu_table_tail": {str(m): v[-1] for m, v in bundle["mu_table"].items()},
+                          "wall_s": round(time.time() - t0, 1)}))
+    elif cfg.algorithm == "two_stage":
+        res = train_two_stage(cfg.spec, cfg.beta_values, cfg.gamma_values,
+                              epochs=cfg.epochs, tol=cfg.tol, patience=cfg.patience,
+                              perturb_const=cfg.perturb_const, lr=cfg.lr,
+                              seed=cfg.seed, verbose=True)
+        print(json.dumps({"experiment": cfg.name, "mu_beta": res.mu_beta,
+                          "mu_gamma": res.mu_gamma,
+                          "wall_s": round(time.time() - t0, 1)}))
+    elif cfg.algorithm == "compare":
+        if cfg.n_runs > 1:
+            stats = {m: train_multiple_runs(cfg.spec, g, n_runs=cfg.n_runs,
+                                            use_perturbation=(m == "pl_pinn"),
+                                            epochs=cfg.epochs, tol=cfg.tol,
+                                            patience=cfg.patience)
+                     for g in cfg.gamma_values for m in ("pl_pinn", "vanilla")}
+            print(json.dumps({k: {"mu_median": v["mu_median"], "mu_std": v["mu_std"]}
+                              for k, v in stats.items()}, default=str))
+        else:
+            for g in cfg.gamma_values:
+                out = compare_methods(cfg.spec, g, epochs=cfg.epochs, tol=cfg.tol,
+                                      patience=cfg.patience)
+                print(json.dumps({"gamma": g, **{m: {"mu": d["mu"], "loss": d["best_loss"]}
+                                                 for m, d in out.items()}}))
+    else:
+        raise SystemExit(f"unknown algorithm {cfg.algorithm}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -38,12 +38,47 @@ class PLPINNResult(NamedTuple):
     epochs_history: dict        # mode -> {gamma: epochs_run}
 
 
+def _rebase(spec: GPESpec, batch: dict, params, scale: float) -> tuple:
+    """Fold the current perturbation into the base arrays and reset the net's
+    output layer to zero (keeping hidden features as a warm start).
+
+    After rebasing, each continuation step only has to learn the small
+    INCREMENT ψ(γ+Δγ) − ψ(γ) instead of the full departure from the γ=0
+    linear eigenfunction — the conditioning win that lets the q-scaled
+    ansatz track strongly-interacting states (γ ≫ 1) without representation
+    strain. Goes beyond the reference algorithm (which keeps the γ=0 base
+    forever, harmonic_pinn_simulation.py:127-134)."""
+    from gpe_tpu.models.mlp import mlp_apply, mlp_vgl
+
+    n = mlp_vgl(params, batch["x"], spec.activation)
+    batch = dict(batch)
+    batch["base_val"] = batch["base_val"] + scale * n.value
+    batch["base_grad"] = batch["base_grad"] + scale * n.grad
+    batch["base_lap"] = batch["base_lap"] + scale * n.lap
+    nb = mlp_apply(params, batch["bx"], spec.activation)
+    batch["base_bval"] = batch["base_bval"] + scale * nb
+    if "base_val_reflect" in batch:
+        nr = mlp_apply(params, batch["x_reflect"], spec.activation)
+        batch["base_val_reflect"] = batch["base_val_reflect"] + scale * nr
+    # Reset the output layer to a TINY random map (not exactly zero: a zero
+    # last layer makes the Jacobian w.r.t. all hidden params vanish, which
+    # rank-cripples Gauss-Newton and stalls Adam at the rebased point).
+    w_last, b_last = params[-1]
+    key = jax.random.PRNGKey(jnp.asarray(jnp.sum(jnp.abs(w_last)) * 1e6, jnp.int32).item() + 17)
+    w_new = 1e-3 * jax.random.normal(key, w_last.shape, w_last.dtype)
+    params = tuple(params[:-1]) + ((w_new, jnp.zeros_like(b_last)),)
+    return batch, params
+
+
 def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
                  tol: float = 1e-5, patience: int = 2000, perturb_const: float = 0.01,
                  lr: float = 1e-3, seed: int = 0, pretrain_epochs: int = 2000,
                  check_every: int = 512, keep_params: bool = True,
-                 verbose: bool = False) -> PLPINNResult:
-    """Run the PL-PINN continuation sweep. Reference-parity entry point."""
+                 rebase: bool = False, verbose: bool = False) -> PLPINNResult:
+    """Run the PL-PINN continuation sweep. Reference-parity entry point.
+
+    rebase=True enables incremental-base continuation (see _rebase) — same
+    algorithmic family, dramatically better at large γ."""
     gamma_values = sorted(float(g) for g in gamma_values)
     loss_fn = make_loss_fn(spec)
 
@@ -71,10 +106,13 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
         constant_history[mode] = normal_const
 
         mus, by_gamma_params, by_gamma_hist, by_gamma_epochs = [], {}, {}, {}
+        # ONE optimizer object for the whole ramp: optimizer state is re-init
+        # inside fit() per γ (reference: fresh Adam each γ), while the jit
+        # cache keys on the optimizer object — reuse avoids a recompile per γ.
+        optimizer = make_optimizer(
+            "adam", cosine_warm_restarts(lr, T_0=200, T_mult=2, eta_min=1e-6),
+            clip_norm=1.0)
         for gamma in gamma_values:
-            optimizer = make_optimizer(
-                "adam", cosine_warm_restarts(lr, T_0=200, T_mult=2, eta_min=1e-6),
-                clip_norm=1.0)
             res = fit(loss_fn, optimizer, params, batch, gamma, scale,
                       epochs=epochs, tol=tol, patience=patience, check_every=check_every)
             # Warm-start from the restored best state (the reference loads
@@ -89,6 +127,8 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
             if verbose:
                 print(f"mode {mode} γ={gamma:g}: μ={res.mu:.6f} "
                       f"loss={res.best_loss:.3e} epochs={res.epochs_run}")
+            if rebase:
+                batch, params = _rebase(spec, batch, params, scale)
 
         params_by_mode[mode] = by_gamma_params
         mu_table[mode] = mus

@@ -65,11 +65,11 @@ def train_two_stage(spec: GPESpec, beta_values, gamma_values, mode: int = 0,
     scale = perturb_const / normal_const
 
     history, eps = {}, {}
+    opt = make_optimizer("adam", cosine_warm_restarts(lr, 200, 2, 1e-6),
+                         clip_norm=1.0)   # one object → one jit cache entry
 
     def run_step(beta, gamma, key):
         nonlocal params
-        opt = make_optimizer("adam", cosine_warm_restarts(lr, 200, 2, 1e-6),
-                             clip_norm=1.0)
         res = fit(loss_fn, opt, params, batch, jnp.array([beta, gamma], jnp.float32),
                   scale, epochs=epochs, tol=tol, patience=patience,
                   check_every=check_every)
