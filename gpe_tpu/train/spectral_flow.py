@@ -44,7 +44,10 @@ class FlowResult(NamedTuple):
 
 def make_spectral_flow_solver(spec: GPESpec, outer_steps: int = 150,
                               inner_steps: int = 80, tau: float = 2e-2,
-                              inner_lr: float = 2e-3, flow_substeps: int = 4):
+                              inner_lr: float = 2e-3, flow_substeps: int = 4,
+                              final_flow_steps: int = 800,
+                              final_inner_steps: int = 800,
+                              final_tau: float | None = None):
     """solver(params, batch, gamma) → FlowResult. Vanilla ansatz (u = net).
 
     batch must be a full uniform grid from make_batch(spec, mode)."""
@@ -55,6 +58,10 @@ def make_spectral_flow_solver(spec: GPESpec, outer_steps: int = 150,
     k1 = 2.0 * jnp.pi * jnp.fft.fftfreq(n_side, d=dx)
     k2 = k1**2 if dim == 1 else k1[:, None] ** 2 + k1[None, :] ** 2
     kin_prop = jnp.exp(-tau * spec.kinetic * k2)
+    # The Strang fixed point is biased O(τ²); the endgame flow runs at a
+    # much smaller step to remove it before the final distillation.
+    f_tau = final_tau if final_tau is not None else tau / 8.0
+    kin_prop_f = jnp.exp(-f_tau * spec.kinetic * k2)
 
     inner_opt = optax.adam(inner_lr)
     vol = dx**dim
@@ -62,18 +69,19 @@ def make_spectral_flow_solver(spec: GPESpec, outer_steps: int = 150,
     def _normalize(u):
         return u / jnp.sqrt(jnp.sum(u * u) * vol + 1e-30)
 
-    def _flow_step(u, V, gamma):
+    def _flow_step(u, V, gamma, step_tau=tau, kprop=None, substeps=flow_substeps):
+        kprop = kin_prop if kprop is None else kprop
         g = u.reshape((n_side,) * dim)
         Vg = V.reshape((n_side,) * dim)
-        for _ in range(flow_substeps):
+        for _ in range(substeps):
             pot = Vg + gamma * jnp.abs(g) ** (spec.p - 1.0)
-            g = g * jnp.exp(-0.5 * tau * pot)
+            g = g * jnp.exp(-0.5 * step_tau * pot)
             if dim == 1:
-                g = jnp.real(jnp.fft.ifft(jnp.fft.fft(g) * kin_prop))
+                g = jnp.real(jnp.fft.ifft(jnp.fft.fft(g) * kprop))
             else:
-                g = jnp.real(jnp.fft.ifft2(jnp.fft.fft2(g) * kin_prop))
+                g = jnp.real(jnp.fft.ifft2(jnp.fft.fft2(g) * kprop))
             pot = Vg + gamma * jnp.abs(g) ** (spec.p - 1.0)
-            g = g * jnp.exp(-0.5 * tau * pot)
+            g = g * jnp.exp(-0.5 * step_tau * pot)
             g = _normalize(g.ravel()).reshape(g.shape)
         return g.ravel()
 
@@ -112,8 +120,54 @@ def make_spectral_flow_solver(spec: GPESpec, outer_steps: int = 150,
             return jnp.sum(u * hu) * vol
 
         opt_state = inner_opt.init(params)
-        (params, _), (mus, fits) = jax.lax.scan(outer, (params, opt_state),
-                                                None, length=outer_steps)
+        (params, opt_state), (mus, fits) = jax.lax.scan(outer, (params, opt_state),
+                                                        None, length=outer_steps)
+
+        # Endgame: the interleaved fixed point carries an O(fit error / flow
+        # contraction) bias. Run the PURE grid flow to convergence from the
+        # net's values (this is exactly validate/imaginary_time.py on-device),
+        # then one long distillation fit onto the converged target.
+        v = mlp.mlp_apply(params, batch["x"], act)
+        target = _normalize(v)
+
+        def pure_flow(u, _):
+            return _flow_step(u, V, gamma), None
+
+        target, _ = jax.lax.scan(pure_flow, target, None,
+                                 length=max(final_flow_steps // (2 * flow_substeps), 1))
+
+        def fine_flow(u, _):
+            return _flow_step(u, V, gamma, f_tau, kin_prop_f, flow_substeps), None
+
+        target, _ = jax.lax.scan(fine_flow, target, None,
+                                 length=max(final_flow_steps // flow_substeps, 1))
+        mu_tau = _grid_mu(target, V, gamma)
+
+        # Richardson over τ: the renormalized splitting biases μ at O(τ)
+        # (first order — μ is not stationary w.r.t. the nonlinear term).
+        kin_prop_h = jnp.exp(-(f_tau / 2.0) * spec.kinetic * k2)
+
+        def finer_flow(u, _):
+            return _flow_step(u, V, gamma, f_tau / 2.0, kin_prop_h, flow_substeps), None
+
+        target, _ = jax.lax.scan(finer_flow, target, None,
+                                 length=max(final_flow_steps // flow_substeps, 1))
+        mu_tau_half = _grid_mu(target, V, gamma)
+        mu_grid_final = 2.0 * mu_tau_half - mu_tau
+
+        def final_inner(c, _):
+            p, s = c
+            def mse(p):
+                out = mlp.mlp_apply(p, batch["x"], act)
+                return jnp.mean((_normalize(out) - target) ** 2)
+            l, g = jax.value_and_grad(mse)(p)
+            updates, s = inner_opt.update(g, s, p)
+            return (optax.apply_updates(p, updates), s), l
+
+        (params, _), final_fits = jax.lax.scan(final_inner, (params, opt_state),
+                                               None, length=final_inner_steps)
+        mus = jnp.concatenate([mus, mu_grid_final[None]])
+        fits = jnp.concatenate([fits, final_fits[-1:]])
 
         # mesh-free report from analytic derivatives
         n = mlp.mlp_vgl(params, batch["x"], act)

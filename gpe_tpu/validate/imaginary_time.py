@@ -21,12 +21,24 @@ def _k_grid(n: int, dx: float) -> np.ndarray:
 def imaginary_time_gpe(V: np.ndarray, dx: float, gamma: float,
                        kinetic: float = 1.0, p: float = 3.0,
                        tau: float = 5e-3, steps: int = 20000,
-                       tol: float = 1e-12, psi0: np.ndarray | None = None):
+                       tol: float = 1e-12, psi0: np.ndarray | None = None,
+                       richardson: bool = False):
     """Ground state of −c·Δψ + Vψ + γ|ψ|^(p−1)ψ = μψ with ∫|ψ|² = 1.
 
     V: (n,) for 1D or (nx, ny) for 2D (same spacing dx per axis).
     Returns (mu, psi). tol is on the per-step μ change.
+
+    The per-step renormalization makes the converged μ carry an O(τ) bias
+    (first-order in the splitting, since μ is NOT stationary w.r.t. the
+    nonlinear term). richardson=True re-converges at τ/2 and extrapolates
+    μ* = 2μ(τ/2) − μ(τ), removing the linear term.
     """
+    if richardson:
+        mu1, psi1 = imaginary_time_gpe(V, dx, gamma, kinetic, p, tau, steps,
+                                       tol, psi0)
+        mu2, psi2 = imaginary_time_gpe(V, dx, gamma, kinetic, p, tau / 2.0,
+                                       steps * 2, tol, psi1)
+        return 2.0 * mu2 - mu1, psi2
     dim = V.ndim
     vol = dx**dim
     if psi0 is None:
