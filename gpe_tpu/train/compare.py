@@ -107,7 +107,8 @@ def train_multiple_runs(spec: GPESpec, gamma: float, mode: int = 0,
             scales.append(1.0)
         params_list.append(p)
     params_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
-    scale = float(np.mean(scales))
+    # per-run q/normal_const scales (the reference gives each seed its own)
+    scale = jnp.asarray(scales, jnp.float32)
 
     opt = make_optimizer("adam", cosine_warm_restarts(lr, 200, 2, 1e-6), clip_norm=1.0)
     ens = fit_ensemble(loss_fn, opt, params_batch, batch, gamma, scale,

@@ -46,10 +46,10 @@ class FitResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("loss_fn", "optimizer", "check_every", "tol",
-                                   "patience", "scale_schedule"))
+                                   "patience", "scale_schedule", "epochs"))
 def _run_chunk(loss_fn, optimizer, carry: FitCarry, batch, gamma, scale,
                check_every: int, tol: float, patience: int,
-               scale_schedule=None):
+               scale_schedule=None, epochs: int = None):
     def step(c: FitCarry, _):
         s = scale if scale_schedule is None else scale_schedule(c.epoch)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -57,15 +57,17 @@ def _run_chunk(loss_fn, optimizer, carry: FitCarry, batch, gamma, scale,
         updates, new_opt = optimizer.update(grads, c.opt_state, c.params)
         new_params = optax.apply_updates(c.params, updates)
 
-        # freeze once done (early-stopped) — masked update keeps the scan static
-        keep = c.done
+        # freeze once done (early-stopped) OR past the epoch budget — chunks
+        # have a fixed compiled length, so the tail chunk masks the phantom
+        # steps to keep the gradient-step count exactly equal to `epochs`
+        keep = c.done if epochs is None else (c.done | (c.epoch >= epochs))
         tree_where = lambda old, new: jax.tree.map(lambda a, b: jnp.where(keep, a, b), old, new)
         params = tree_where(c.params, new_params)
         opt_state = tree_where(c.opt_state, new_opt)
 
-        improved = loss < c.best_loss
+        improved = (loss < c.best_loss) & ~keep
         best_loss = jnp.where(improved, loss, c.best_loss)
-        best_params = jax.tree.map(lambda bp, p: jnp.where(improved & ~keep, p, bp),
+        best_params = jax.tree.map(lambda bp, p: jnp.where(improved, p, bp),
                                    c.best_params, c.params)
         since = jnp.where(improved, 0, c.since_improve + 1)
 
@@ -112,9 +114,10 @@ def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
     while steps_done < epochs:
         n = min(check_every, epochs - steps_done)
         # fixed chunk length keeps one compilation; the tail chunk reuses it
+        # (updates past the `epochs` budget are masked inside the chunk)
         carry, (l_hist, mu_hist) = _run_chunk(
             loss_fn, optimizer, carry, batch, gamma, scale, check_every, tol,
-            patience, scale_schedule)
+            patience, scale_schedule, epochs)
         losses.append(np.asarray(l_hist[:n]))
         mus.append(np.asarray(mu_hist[:n]))
         steps_done += n
@@ -161,21 +164,25 @@ def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
     done-mask; the host loop exits when every run has stopped.
 
     params_batch: pytree with leading run axis R on every leaf.
+    scale: scalar, or a per-run (R,) vector — the reference protocol gives each
+    seed its own q/normal_const perturbation scale.
     """
     gamma = jnp.asarray(gamma, jnp.float32)
     scale = jnp.asarray(scale, jnp.float32)
     R = jax.tree.leaves(params_batch)[0].shape[0]
+    if scale.ndim == 0:
+        scale = jnp.full((R,), scale)
     carry = jax.vmap(lambda p: _init_carry(optimizer, p, epochs))(params_batch)
 
     run_chunk = jax.vmap(
-        lambda c: _run_chunk(loss_fn, optimizer, c, batch, gamma, scale,
-                             check_every, tol, patience))
+        lambda c, s: _run_chunk(loss_fn, optimizer, c, batch, gamma, s,
+                                check_every, tol, patience, None, epochs))
 
     losses, mus = [], []
     steps_done = 0
     while steps_done < epochs:
         n = min(check_every, epochs - steps_done)
-        carry, (l_hist, mu_hist) = run_chunk(carry)
+        carry, (l_hist, mu_hist) = run_chunk(carry, scale)
         losses.append(np.asarray(l_hist[:, :n]))
         mus.append(np.asarray(mu_hist[:, :n]))
         steps_done += n
