@@ -130,6 +130,39 @@ _register(ExperimentConfig(
     gamma_values=(0.0, 5.0, 10.0, 20.0, 35.0, 50.0, 70.0, 100.0),
     epochs=8000, rebase=True))
 
+# --- loss-strategy experiments (reference C5/C9/C11/C12) ---------------------
+
+_register(ExperimentConfig(
+    name="gpe2d_relobralo",                      # src/gross_pitaevskii_2D_ReLoBRaLo.py
+    spec=GPESpec(dim=2, lb=-6.0, ub=6.0, n_points=100,
+                 layers=(2, 100, 100, 100, 1), activation="tanh",
+                 potential="harmonic", potential_kwargs=(("a", 0.5),),
+                 kinetic=0.5, nonlinearity="abs_power", use_perturbation=False,
+                 symmetry="y_even", sym_weight=500.0, riesz_weight=1.0,
+                 bc_weight=500.0, norm_weight=100.0, pde_weight=2.0),
+    algorithm="relobralo", gamma_values=(10.0,), epochs=3000))
+
+_register(ExperimentConfig(
+    name="harmonic_self_adaptive",               # src/..._Self_Adaptive.py
+    spec=replace(_PAPER_1D, n_points=2000, weighting="self_adaptive",
+                 use_perturbation=False, nonlinearity="abs_power"),
+    algorithm="fit", gamma_values=(0.0, 10.0), epochs=4000))
+
+_register(ExperimentConfig(
+    name="gpe2d_anti_trivial",                   # gross_pitaevskii_2D.py:197-211
+    spec=GPESpec(dim=2, lb=-6.0, ub=6.0, n_points=100,
+                 layers=(2, 100, 100, 100, 1), activation="tanh",
+                 potential="harmonic", potential_kwargs=(("a", 0.5),),
+                 kinetic=0.5, nonlinearity="abs_power", use_perturbation=False,
+                 anti_trivial=True, anti_trivial_weight=0.1),
+    algorithm="fit", gamma_values=(10.0,), epochs=3000))
+
+_register(ExperimentConfig(
+    name="riesz_mode0",                          # 1D_GPE_Riesz_Method notebook (D11)
+    spec=replace(_PAPER_1D, n_points=2000, objective="riesz",
+                 nonlinearity="abs_power"),
+    algorithm="fit", gamma_values=(0.0, 1.0, 10.0, 100.0), epochs=4000))
+
 _register(ExperimentConfig(
     name="gpe2d_lattice",                        # config #4: optical lattice
     spec=GPESpec(dim=2, lb=-8.0, ub=8.0, n_points=128,

@@ -30,6 +30,12 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    # Accuracy-critical path: TPU's default matmul precision is bf16-class,
+    # which caps the net-distillation MSE (and hence the mesh-free μ) around
+    # 1e-5. Three-pass f32 MXU matmuls restore the f32 ceiling at ~3× GEMM
+    # cost — negligible here, decisive for |μ_net − μ_ref| < 1e-3.
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     from gpe_tpu.models import mlp
     from gpe_tpu.train import GPESpec, make_batch, pretrain_to_base
     from gpe_tpu.train.problem import base_triple
@@ -52,7 +58,9 @@ def main(argv=None):
     print(f"pretrain mse {pre_mse:.2e} ({time.time()-t0:.0f}s)", flush=True)
 
     solver = make_spectral_flow_solver(spec, outer_steps=args.outer,
-                                       inner_steps=args.inner, tau=2e-2)
+                                       inner_steps=args.inner, tau=2e-2,
+                                       final_inner_steps=4000,
+                                       final_lbfgs_steps=400)
     results = []
     for g in args.gammas:
         t1 = time.time()

@@ -61,7 +61,7 @@ def main(argv=None):
 
     t0 = time.time()
     if cfg.algorithm == "plpinn":
-        if args.train or not os.path.exists(bundle_path):
+        if (args.train or not os.path.exists(bundle_path)) and not args.plots:
             res = train_plpinn(cfg.spec, cfg.gamma_values, cfg.modes,
                                epochs=cfg.epochs, tol=cfg.tol, patience=cfg.patience,
                                perturb_const=cfg.perturb_const, lr=cfg.lr,
@@ -84,6 +84,35 @@ def main(argv=None):
         print(json.dumps({"experiment": cfg.name, "mu_beta": res.mu_beta,
                           "mu_gamma": res.mu_gamma,
                           "wall_s": round(time.time() - t0, 1)}))
+    elif cfg.algorithm == "relobralo":
+        import jax
+        from gpe_tpu.train.balanced import fit_relobralo
+        from gpe_tpu.train.problem import init_params, make_batch
+        batch = make_batch(cfg.spec, cfg.modes[0])
+        params = init_params(cfg.spec, jax.random.PRNGKey(cfg.seed))
+        for g in cfg.gamma_values:
+            res = fit_relobralo(cfg.spec, params, batch, g, epochs=cfg.epochs,
+                                lr=cfg.lr, seed=cfg.seed)
+            params = res.params
+            print(json.dumps({"gamma": g, "mu": res.mu, "loss": res.best_loss,
+                              "lambdas": dict(zip(res.term_names,
+                                                  res.lambda_history[-1].tolist()))}))
+    elif cfg.algorithm == "fit":
+        # single-model training per γ (warm-started), honoring spec.weighting /
+        # objective — the path for self-adaptive, anti-trivial, and Riesz runs
+        import jax
+        from gpe_tpu.train import fit, make_optimizer
+        from gpe_tpu.train.problem import init_params, make_batch, make_loss_fn
+        batch = make_batch(cfg.spec, cfg.modes[0])
+        loss_fn = make_loss_fn(cfg.spec)
+        params = init_params(cfg.spec, jax.random.PRNGKey(cfg.seed))
+        opt = make_optimizer("adam", cfg.lr, clip_norm=1.0)
+        for g in cfg.gamma_values:
+            res = fit(loss_fn, opt, params, batch, g, 1.0, epochs=cfg.epochs,
+                      tol=cfg.tol, patience=cfg.patience)
+            params = res.final_params
+            print(json.dumps({"gamma": g, "mu": res.mu, "loss": res.best_loss,
+                              "epochs": res.epochs_run}))
     elif cfg.algorithm == "compare":
         if cfg.n_runs > 1:
             stats = {m: train_multiple_runs(cfg.spec, g, n_runs=cfg.n_runs,

@@ -34,12 +34,23 @@ def init_log_alpha(names: Sequence[str]):
     return {k: jnp.zeros(()) for k in names}
 
 
-def self_adaptive_total(losses: dict, log_alpha: dict) -> jnp.ndarray:
-    """Σ exp(log_alphaᵢ)·Lᵢ — log_alpha lives in the trainable params pytree."""
+def self_adaptive_total(losses: dict, log_alpha: dict,
+                        base_weights: dict | None = None) -> jnp.ndarray:
+    """Self-adaptive weighted total: Σ wᵢ·exp(log_alphaᵢ)·Lᵢ with log_alpha in
+    the trainable params pytree (reference C11, ..._Self_Adaptive.py:58-59).
+
+    The reference minimizes this jointly, which drives log_alpha → −∞ (weights
+    collapse; the loss is unbounded below in log_alpha). Here the value is
+    identical but log_alpha receives an ASCENT gradient via the
+    2·stop_grad(w) − w trick — the SA-PINN min-max semantics: θ descends the
+    weighted loss, the weights climb toward the hardest terms."""
     total = 0.0
     for k, la in log_alpha.items():
         if k in losses:
-            total = total + jnp.exp(la) * losses[k]
+            w = jnp.exp(la) * (1.0 if base_weights is None
+                               else base_weights.get(k, 1.0))
+            w_eff = 2.0 * jax.lax.stop_gradient(w) - w
+            total = total + w_eff * losses[k]
     return total
 
 

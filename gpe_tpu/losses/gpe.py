@@ -1,95 +1,104 @@
-"""GPE loss terms: PDE residual, boundary, normalization, symmetry, regularizers.
+"""GPE loss terms: PDE residual, boundary, normalization, symmetry, Riesz
+energy, anti-trivial regularizers — the SINGLE source of truth consumed by
+`train.problem.make_loss_fn` (and any custom trainer).
 
 Parity with reference L2 (SURVEY.md §2.C). One shared forward-Laplacian pass
 feeds all terms — the reference re-runs `self.forward` 3-4× per step
-(src/gross_pitaevskii_1D_Different_Optimizers.py:421-424); here every term is
-computed from a single ValGradLap evaluation of the complete solution.
+(src/gross_pitaevskii_1D_Different_Optimizers.py:421-424); here the caller
+evaluates the complete solution ONCE and passes the (u, grad, lap) arrays.
 
 γ (and the potential scale β) enter as traced scalars so one compiled step
-serves the whole continuation ramp without recompilation.
+serves the whole continuation ramp without recompilation. All reductions are
+psum-aware (`axis_name`), so the same terms run unchanged under `shard_map`
+with collocation points sharded over the mesh.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 
-from gpe_tpu.models.ansatz import Ansatz
-from gpe_tpu.ops.quadrature import integrate, wmean
 from gpe_tpu.ops.rayleigh import hamiltonian_apply, riesz_energy
 
 
 @dataclass(frozen=True)
 class GPETerms:
-    """Static configuration of the GPE loss (compile-time constants)."""
+    """Static configuration of the GPE loss terms (compile-time constants)."""
     p: float = 3.0
     kinetic: float = 1.0                 # c in −c·Δψ (1 = refine code, ½ = notebooks)
     nonlinearity: str = "abs_power"      # or "power" (refine code's γ·uᵖ)
-    norm_style: str = "riemann"          # "(Σu²·dx−1)²" | "l2": "(‖u‖−1)²"
+    norm_style: str = "riemann"          # "(Σu²·dx−1)²" | "l2": "(‖u‖₂−1)²"
     symmetry: str | None = None          # None | "even" | "odd" | "interval"
-    sym_bounds: tuple = (0.0, 1.0)       # for "interval": u(x) = u((a+b)−x)
-    use_riesz: bool = False              # add Riesz energy (mode-0 objective)
+    use_riesz: bool = False              # Riesz energy term (mode-0 objective)
     anti_trivial: bool = False           # eigenvalue regularizers (C9)
     anti_trivial_c: float = 2.0
 
 
-class LossOutput(NamedTuple):
+class TermsOutput(NamedTuple):
     losses: dict       # name -> scalar loss term
     mu: jnp.ndarray    # Rayleigh-quotient eigenvalue
     u: jnp.ndarray     # complete-solution values on collocation points
 
 
-def gpe_loss_terms(ansatz: Ansatz, params, x, V, w, bx, gamma, scale,
-                   cfg: GPETerms, axis_name: str | None = None) -> LossOutput:
-    """All GPE loss terms from ONE forward-Laplacian evaluation.
+def gpe_terms(u, grad, lap, bv, V, w, gamma, cfg: GPETerms,
+              axis_name: str | None = None, u_reflect=None) -> TermsOutput:
+    """All GPE loss terms from precomputed complete-solution arrays.
 
-    x: (N,d) collocation points; V: (N,) potential values (pre-scaled by β if
-    continuing in potential strength); w: (N,) quadrature weights; bx: (B,d)
-    boundary points; gamma, scale: traced scalars.
+    u, grad, lap: (N,), (N,d), (N,) complete solution ψ on collocation points
+    (perturbation/hard-BC composition already applied by the caller);
+    bv: (B,) complete solution on boundary points (replicated across shards);
+    V: (N,) potential (pre-scaled by β for potential-strength continuation);
+    w: (N,) quadrature weights; gamma: traced scalar;
+    u_reflect: ψ(x_reflected) when cfg.symmetry is set — the caller owns the
+    reflection geometry (parity or interval), this function applies the sign.
     """
-    u, grad, lap = ansatz.vgl(params, x, scale)
+    hu = hamiltonian_apply(u, lap, V, gamma, cfg.p, cfg.kinetic,
+                           cfg.nonlinearity)
 
-    hu = hamiltonian_apply(u, lap, V, gamma, cfg.p, cfg.kinetic, cfg.nonlinearity)
-    den = wmean(u * u, axis_name)
-    mu = wmean(u * hu, axis_name) / (den + 1e-12)
+    def _red(v):
+        s = jnp.sum(v)
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+        return s
 
+    n_pts = _red(jnp.ones_like(u))
+    den = _red(u * u)
+    mu = _red(u * hu) / (den + 1e-12)
     r = hu - mu * u
-    losses = {"pde": wmean(r * r, axis_name)}
+    losses = {"pde": _red(r * r) / n_pts}
 
-    # Dirichlet boundary: full solution → 0 at the box edges (C6).
-    ub_vals = ansatz.value(params, bx, scale)
-    losses["boundary"] = jnp.mean(ub_vals * ub_vals)
+    # Dirichlet boundary: full solution → 0 (C6). Boundary points are
+    # replicated across shards, so a local mean is already global.
+    losses["boundary"] = jnp.mean(bv * bv)
 
     # Normalization ∫|ψ|² = 1 (C7).
     if cfg.norm_style == "riemann":
-        losses["norm"] = (integrate(u * u, w, axis_name) - 1.0) ** 2
-    else:
-        losses["norm"] = (jnp.sqrt(wmean(u * u, axis_name) * u.size) - 1.0) ** 2
+        losses["norm"] = (_red(u * u * w) - 1.0) ** 2
+    else:  # "l2": the older scripts' (‖u‖₂ − 1)² over the global point set
+        losses["norm"] = (jnp.sqrt(den) - 1.0) ** 2
 
     # Symmetry (C8): parity or interval reflection.
-    if cfg.symmetry is not None:
-        if cfg.symmetry == "interval":
-            xr = (cfg.sym_bounds[0] + cfg.sym_bounds[1]) - x
-            sgn = 1.0
-        else:
-            xr = -x
-            sgn = 1.0 if cfg.symmetry == "even" else -1.0
-        ur = ansatz.value(params, xr, scale)
-        diff = u - sgn * ur
-        losses["sym"] = wmean(diff * diff, axis_name)
+    if cfg.symmetry is not None and u_reflect is not None:
+        sgn = -1.0 if cfg.symmetry == "odd" else 1.0
+        diff = u - sgn * u_reflect
+        losses["sym"] = _red(diff * diff) / n_pts
 
+    # Riesz energy (C5, mode-0 objective / Algorithm 2).
     if cfg.use_riesz:
-        losses["riesz"] = riesz_energy(u, grad, V, w, gamma, cfg.p, cfg.kinetic,
-                                       normalize=True, axis_name=axis_name)
+        losses["riesz"] = riesz_energy(u, grad, V, w, gamma, cfg.p,
+                                       cfg.kinetic, normalize=True,
+                                       axis_name=axis_name)
 
+    # Anti-trivial-solution regularizers (C9, arXiv:2010.05075 style; active
+    # in the reference's 2D solver, gross_pitaevskii_2D.py:197-211).
     if cfg.anti_trivial:
-        # arXiv:2010.05075-style regularizers, active in gross_pitaevskii_2D.py:197-211.
-        losses["reg_f"] = 1.0 / (wmean(u * u, axis_name) + 1e-2)
+        losses["reg_f"] = 1.0 / (den / n_pts + 1e-2)
         losses["reg_lambda"] = 1.0 / (mu * mu + 1e-6)
         losses["reg_drive"] = jnp.exp(-mu + cfg.anti_trivial_c)
 
-    return LossOutput(losses, mu, u)
+    return TermsOutput(losses, mu, u)
 
 
 def pretrain_loss(ansatz_value: Callable, params, x, target, scale=1.0):

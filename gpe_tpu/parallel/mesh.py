@@ -19,14 +19,12 @@ from functools import partial
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 AXIS = "data"
-
-# batch keys replicated across the mesh (tiny boundary/probe sets)
-_REPLICATED_KEYS = ("bx", "base_bval")
 
 
 def make_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
@@ -36,9 +34,25 @@ def make_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
 
 
 def batch_pspecs(batch: dict, axis: str = AXIS) -> dict:
-    """PartitionSpecs for a problem batch: collocation arrays sharded on the
-    leading axis, boundary data replicated."""
-    return {k: (P() if k in _REPLICATED_KEYS else P(axis)) for k in batch}
+    """PartitionSpecs for a problem batch: arrays whose leading axis is the
+    collocation axis (same length as batch["x"]) are sharded on it; everything
+    else (boundary points/values, probe sets, scalars) is replicated.
+
+    The rule is structural, not name-based, so problem families with their own
+    batch keys (Helmholtz boundary data, 2D disk samples) shard correctly
+    without registering key names here. Collocation counts are sized in the
+    thousands (n_points ≥ 1000 in every registered config) while boundary sets
+    are tiny, so an accidental length collision is not a practical concern.
+    """
+    n_colloc = batch["x"].shape[0]
+
+    def spec_for(v):
+        arr = jnp.asarray(v) if not hasattr(v, "shape") else v
+        if arr.ndim >= 1 and arr.shape[0] == n_colloc:
+            return P(axis)
+        return P()
+
+    return {k: spec_for(v) for k, v in batch.items()}
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = AXIS) -> dict:
@@ -60,7 +74,7 @@ def make_parallel_loss(loss_fn: Callable, mesh: Mesh, batch: dict,
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), specs, P(), P()),
              out_specs=(P(), P()),
-             check_rep=False)
+             check_vma=False)
     def sharded(params, b, gamma, scale):
         return loss_fn(params, b, gamma, scale, axis_name=axis)
 

@@ -15,10 +15,12 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from gpe_tpu.losses.balancing import (fixed_weights_total, init_log_alpha,
+                                      self_adaptive_total)
+from gpe_tpu.losses.gpe import GPETerms, gpe_terms
 from gpe_tpu.models import mlp
-from gpe_tpu.models.ansatz import box_sine_factor
+from gpe_tpu.models.ansatz import box_sine_factor, hard_bc_ansatz, plain_ansatz
 from gpe_tpu.ops import quadrature
-from gpe_tpu.ops.rayleigh import hamiltonian_apply
 from gpe_tpu.physics import bases, potentials
 
 
@@ -43,13 +45,46 @@ class GPESpec:
     p: float = 3.0
     kinetic: float = 1.0
     nonlinearity: str = "power"             # refine code: γ·uᵖ
+    objective: str = "pde"                  # "pde" | "riesz" (Algorithm 2 / D11)
+    pde_weight: float = 1.0
     bc_weight: float = 10.0
     norm_weight: float = 20.0
     sym_weight: float = 0.0
+    riesz_weight: float = 0.0               # extra Riesz term when objective="pde"
     symmetry: str | None = None             # "even"|"odd"|"interval"
+    norm_style: str = "riemann"             # "riemann" | "l2"
+    anti_trivial: bool = False              # C9 eigenvalue regularizers
+    anti_trivial_c: float = 2.0
+    anti_trivial_weight: float = 1.0
+    weighting: str = "fixed"                # "fixed" | "self_adaptive"
     use_perturbation: bool = True           # PL-PINN vs vanilla PINN
     hard_bc: bool = False                   # box: ψ = sin(πx)·N(x)
     dtype: any = jnp.float32
+
+    def terms_cfg(self) -> GPETerms:
+        use_riesz = self.objective == "riesz" or self.riesz_weight > 0.0
+        return GPETerms(p=self.p, kinetic=self.kinetic,
+                        nonlinearity=self.nonlinearity,
+                        norm_style=self.norm_style,
+                        symmetry=self.symmetry if self.sym_weight > 0.0 else None,
+                        use_riesz=use_riesz, anti_trivial=self.anti_trivial,
+                        anti_trivial_c=self.anti_trivial_c)
+
+    def loss_weights(self) -> dict:
+        """name -> fixed weight for every active term (the reference's paper
+        weights pde + 10·bc + 20·norm by default)."""
+        w = {"pde": self.pde_weight, "boundary": self.bc_weight,
+             "norm": self.norm_weight}
+        if self.objective == "riesz":
+            w["riesz"] = 1.0
+        elif self.riesz_weight > 0.0:
+            w["riesz"] = self.riesz_weight
+        if self.symmetry is not None and self.sym_weight > 0.0:
+            w["sym"] = self.sym_weight
+        if self.anti_trivial:
+            for k in ("reg_f", "reg_lambda", "reg_drive"):
+                w[k] = self.anti_trivial_weight
+        return w
 
 
 def base_triple(spec: GPESpec, mode: int, x) -> bases.ValGradLap:
@@ -103,11 +138,83 @@ def make_batch(spec: GPESpec, mode: int) -> dict:
     if spec.symmetry is not None:
         if spec.symmetry == "interval":
             batch["x_reflect"] = (spec.lb + spec.ub) - x
+        elif spec.symmetry == "y_even":
+            # 2D u(x,y)=u(x,−y) (gross_pitaevskii_2D_ReLoBRaLo.py:232-257)
+            batch["x_reflect"] = x * jnp.array([1.0] * (spec.dim - 1) + [-1.0],
+                                               spec.dtype)
         else:
             batch["x_reflect"] = -x
         if spec.use_perturbation:
             batch["base_val_reflect"] = base_triple(spec, mode, batch["x_reflect"]).value.astype(spec.dtype)
     return batch
+
+
+def make_terms_fn(spec: GPESpec) -> Callable:
+    """Build terms_fn(net_params, batch, gamma, scale, axis_name=None)
+    -> losses.gpe.TermsOutput — the unweighted loss terms from ONE shared
+    forward-Laplacian evaluation of the complete solution (perturbation and
+    hard-BC composition applied here; the terms themselves live in
+    losses/gpe.py, the single source of truth)."""
+    act = spec.activation
+    cfg = spec.terms_cfg()
+
+    raw_vgl = lambda p, x: mlp.mlp_vgl(p, x, act)
+    raw_val = lambda p, x: mlp.mlp_apply(p, x, act)
+    if spec.hard_bc:
+        a = hard_bc_ansatz(raw_vgl, raw_val, box_sine_factor(spec.lb, spec.ub))
+    else:
+        a = plain_ansatz(raw_vgl, raw_val)
+
+    def net_vgl(params, x):
+        return a.vgl(params, x, 1.0)
+
+    def net_value(params, x):
+        return a.value(params, x, 1.0)
+
+    def terms_fn(net_params, batch, gamma, scale, axis_name=None):
+        n = net_vgl(net_params, batch["x"])
+        if spec.use_perturbation:
+            u = batch["base_val"] + scale * n.value
+            grad = batch["base_grad"] + scale * n.grad
+            lap = batch["base_lap"] + scale * n.lap
+        else:
+            u = scale * n.value
+            grad = scale * n.grad
+            lap = scale * n.lap
+
+        bv = net_value(net_params, batch["bx"]) * scale
+        if spec.use_perturbation:
+            bv = batch["base_bval"] + bv
+
+        u_reflect = None
+        if cfg.symmetry is not None:
+            u_reflect = net_value(net_params, batch["x_reflect"]) * scale
+            if spec.use_perturbation:
+                u_reflect = batch["base_val_reflect"] + u_reflect
+
+        return gpe_terms(u, grad, lap, bv, batch["V"], batch["w"], gamma, cfg,
+                         axis_name=axis_name, u_reflect=u_reflect)
+
+    return terms_fn
+
+
+def net_params(params):
+    """Extract the raw MLP params from a (possibly weighting-augmented)
+    params pytree."""
+    if isinstance(params, dict) and "net" in params:
+        return params["net"]
+    return params
+
+
+def init_params(spec: GPESpec, key, scheme: str = "xavier_uniform",
+                mode: int = 0):
+    """Initialize the trainable pytree for a spec: raw MLP params for fixed
+    weighting, {"net", "log_alpha"} for self-adaptive (C11 — the learnable
+    log-weights live in the params pytree and train jointly)."""
+    net = mlp.init_mlp(key, spec.layers, scheme, mode=mode, dtype=spec.dtype)
+    if spec.weighting == "self_adaptive":
+        return {"net": net, "log_alpha": init_log_alpha(spec.loss_weights())}
+    return net
 
 
 def make_loss_fn(spec: GPESpec) -> Callable:
@@ -116,69 +223,35 @@ def make_loss_fn(spec: GPESpec) -> Callable:
     γ and the q/normal_const scale are traced scalars. β-continuation is
     expressed by passing a pre-scaled batch["V"] or a traced `beta` via
     batch["V"]*beta at the call site of the driver.
+
+    Weighting strategies (spec.weighting):
+      - "fixed": Σ wᵢ·Lᵢ with spec.loss_weights() (paper: pde+10·bc+20·norm).
+      - "self_adaptive": params = {"net", "log_alpha"}; weights
+        wᵢ·exp(log_alphaᵢ) ascend toward the hardest terms (C11).
+    ReLoBRaLo (C12) is stateful — use train.balanced.fit_relobralo, which
+    consumes make_terms_fn directly.
     """
-    act = spec.activation
-    hard = box_sine_factor(spec.lb, spec.ub) if spec.hard_bc else None
+    terms_fn = make_terms_fn(spec)
+    weights = spec.loss_weights()
 
-    def net_vgl(params, x):
-        n = mlp.mlp_vgl(params, x, act)
-        if hard is None:
-            return n
-        g = hard(x)
-        val = g.value * n.value
-        grad = g.value[:, None] * n.grad + n.value[:, None] * g.grad
-        lap = g.value * n.lap + 2.0 * jnp.sum(g.grad * n.grad, axis=-1) + n.value * g.lap
-        return bases.ValGradLap(val, grad, lap)
+    if spec.weighting == "self_adaptive":
+        def loss_fn(params, batch, gamma, scale, axis_name=None):
+            out = terms_fn(params["net"], batch, gamma, scale, axis_name)
+            total = self_adaptive_total(out.losses, params["log_alpha"], weights)
+            aux = dict(out.losses)
+            aux["mu"] = out.mu
+            aux["total"] = total
+            return total, aux
+        return loss_fn
 
-    def net_value(params, x):
-        v = mlp.mlp_apply(params, x, act)
-        if hard is not None:
-            v = hard(x).value * v
-        return v
+    if spec.weighting != "fixed":
+        raise ValueError(f"unknown weighting {spec.weighting!r}")
 
     def loss_fn(params, batch, gamma, scale, axis_name=None):
-        n = net_vgl(params, batch["x"])
-        if spec.use_perturbation:
-            u = batch["base_val"] + scale * n.value
-            lap = batch["base_lap"] + scale * n.lap
-        else:
-            u = scale * n.value
-            lap = scale * n.lap
-
-        hu = hamiltonian_apply(u, lap, batch["V"], gamma, spec.p, spec.kinetic,
-                               spec.nonlinearity)
-
-        def _red(v):
-            s = jnp.sum(v)
-            if axis_name is not None:
-                s = jax.lax.psum(s, axis_name)
-            return s
-
-        n_pts = _red(jnp.ones_like(u))
-        den = _red(u * u)
-        mu = _red(u * hu) / (den + 1e-12)
-        r = hu - mu * u
-        pde = _red(r * r) / n_pts
-
-        bv = net_value(params, batch["bx"]) * scale
-        if spec.use_perturbation:
-            bv = batch["base_bval"] + bv
-        boundary = jnp.mean(bv * bv)
-
-        norm = (_red(u * u * batch["w"]) - 1.0) ** 2
-
-        total = pde + spec.bc_weight * boundary + spec.norm_weight * norm
-        aux = {"pde": pde, "boundary": boundary, "norm": norm, "mu": mu}
-
-        if spec.symmetry is not None and spec.sym_weight > 0.0:
-            vr = net_value(params, batch["x_reflect"]) * scale
-            if spec.use_perturbation:
-                vr = batch["base_val_reflect"] + vr
-            sgn = -1.0 if spec.symmetry == "odd" else 1.0
-            sym = _red((u - sgn * vr) ** 2) / n_pts
-            total = total + spec.sym_weight * sym
-            aux["sym"] = sym
-
+        out = terms_fn(params, batch, gamma, scale, axis_name)
+        total = fixed_weights_total(out.losses, weights)
+        aux = dict(out.losses)
+        aux["mu"] = out.mu
         aux["total"] = total
         return total, aux
 

@@ -7,13 +7,23 @@ EXPONENTIAL map is unconditionally stable for any V:
 
     u ← normalize( e^(−τ(V+γ|u|^{p−1})/2) · F⁻¹ e^(−τc|k|²) F · e^(−τ(V+γ|u|^{p−1})/2) u )
 
-Each outer step applies one such imaginary-time step to the NETWORK's values
-on the uniform collocation grid and then distills the target back into the
-network with K supervised Adam steps (value-space fit — well-conditioned,
-unlike residual training; see tests/test_train.py evidence and the diagnosis
-history in git). The fixed point is the spectral-collocation ground state,
-whose μ matches the continuum to grid precision (the same discretization as
-validate/imaginary_time.py, machine-accurate on these grids).
+Two phases:
+
+1. INTERLEAVED (on-device, jitted, bf16/f32-fast): each outer step applies a
+   few imaginary-time substeps to the NETWORK's values on the uniform
+   collocation grid and distills the target back into the network with K
+   supervised Adam steps (value-space fit — well-conditioned, unlike residual
+   training). This walks the net from the warm start to the neighborhood of
+   the ground state at full TPU throughput.
+
+2. ENDGAME (host, float64): the f32 on-device flow carries O(τ) splitting
+   bias plus f32 accumulation error; a tolerance-converged float64 split-step
+   flow with Richardson extrapolation in τ (validate/imaginary_time.py — the
+   same oracle the tests trust) is run FROM the net's values, giving a grid
+   ground state accurate to spectral-discretization precision. One long
+   distillation fit then transfers it into the network. This costs a few
+   seconds of host FFTs per γ — negligible next to the device phase — and
+   removes the accuracy ceiling that capped round-1 at ~6e-3.
 
 The network remains the mesh-free carrier of the solution: μ and the PDE
 residual are reported from the net's ANALYTIC forward-Laplacian derivatives,
@@ -31,23 +41,28 @@ import optax
 from gpe_tpu.models import mlp
 from gpe_tpu.ops.rayleigh import hamiltonian_apply
 from gpe_tpu.train.problem import GPESpec
+from gpe_tpu.train.pretrain import pretrain_to_base
+from gpe_tpu.validate.imaginary_time import imaginary_time_gpe
 
 
 class FlowResult(NamedTuple):
     params: any
     mu: float            # μ from the net's analytic derivatives (mesh-free)
-    mu_grid: float       # μ of the grid flow (spectral oracle at fixed point)
+    mu_grid: float       # μ of the f64 grid flow (spectral oracle, Richardson)
     pde_loss: float      # mean residual² from analytic derivatives
     mu_history: np.ndarray
     fit_history: np.ndarray
+    target: np.ndarray   # converged f64 grid ground state (flat, ∫ψ²=1)
 
 
 def make_spectral_flow_solver(spec: GPESpec, outer_steps: int = 150,
                               inner_steps: int = 80, tau: float = 2e-2,
                               inner_lr: float = 2e-3, flow_substeps: int = 4,
-                              final_flow_steps: int = 800,
-                              final_inner_steps: int = 800,
-                              final_tau: float | None = None):
+                              final_inner_steps: int = 2000,
+                              final_lbfgs_steps: int = 200,
+                              endgame_tau: float = 4e-3,
+                              endgame_steps: int = 60000,
+                              endgame_tol: float = 1e-13):
     """solver(params, batch, gamma) → FlowResult. Vanilla ansatz (u = net).
 
     batch must be a full uniform grid from make_batch(spec, mode)."""
@@ -58,10 +73,6 @@ def make_spectral_flow_solver(spec: GPESpec, outer_steps: int = 150,
     k1 = 2.0 * jnp.pi * jnp.fft.fftfreq(n_side, d=dx)
     k2 = k1**2 if dim == 1 else k1[:, None] ** 2 + k1[None, :] ** 2
     kin_prop = jnp.exp(-tau * spec.kinetic * k2)
-    # The Strang fixed point is biased O(τ²); the endgame flow runs at a
-    # much smaller step to remove it before the final distillation.
-    f_tau = final_tau if final_tau is not None else tau / 8.0
-    kin_prop_f = jnp.exp(-f_tau * spec.kinetic * k2)
 
     inner_opt = optax.adam(inner_lr)
     vol = dx**dim
@@ -69,121 +80,108 @@ def make_spectral_flow_solver(spec: GPESpec, outer_steps: int = 150,
     def _normalize(u):
         return u / jnp.sqrt(jnp.sum(u * u) * vol + 1e-30)
 
-    def _flow_step(u, V, gamma, step_tau=tau, kprop=None, substeps=flow_substeps):
-        kprop = kin_prop if kprop is None else kprop
+    def _flow_step(u, V, gamma):
         g = u.reshape((n_side,) * dim)
         Vg = V.reshape((n_side,) * dim)
-        for _ in range(substeps):
+        for _ in range(flow_substeps):
             pot = Vg + gamma * jnp.abs(g) ** (spec.p - 1.0)
-            g = g * jnp.exp(-0.5 * step_tau * pot)
+            g = g * jnp.exp(-0.5 * tau * pot)
             if dim == 1:
-                g = jnp.real(jnp.fft.ifft(jnp.fft.fft(g) * kprop))
+                g = jnp.real(jnp.fft.ifft(jnp.fft.fft(g) * kin_prop))
             else:
-                g = jnp.real(jnp.fft.ifft2(jnp.fft.fft2(g) * kprop))
+                g = jnp.real(jnp.fft.ifft2(jnp.fft.fft2(g) * kin_prop))
             pot = Vg + gamma * jnp.abs(g) ** (spec.p - 1.0)
-            g = g * jnp.exp(-0.5 * step_tau * pot)
+            g = g * jnp.exp(-0.5 * tau * pot)
             g = _normalize(g.ravel()).reshape(g.shape)
         return g.ravel()
 
+    def _grid_mu(u, V, gamma):
+        g = u.reshape((n_side,) * dim)
+        if dim == 1:
+            lap = jnp.real(jnp.fft.ifft(-k2 * jnp.fft.fft(g))).ravel()
+        else:
+            lap = jnp.real(jnp.fft.ifft2(-k2 * jnp.fft.fft2(g))).ravel()
+        hu = hamiltonian_apply(u, lap, V, gamma, spec.p, spec.kinetic,
+                               spec.nonlinearity)
+        return jnp.sum(u * hu) * vol
+
+    def _distill_scan(params, opt_state, x, target, length):
+        def inner(c, _):
+            p, s = c
+            def mse(p):
+                out = mlp.mlp_apply(p, x, act)
+                return jnp.mean((_normalize(out) - target) ** 2)
+            l, g = jax.value_and_grad(mse)(p)
+            updates, s = inner_opt.update(g, s, p)
+            return (optax.apply_updates(p, updates), s), l
+        return jax.lax.scan(inner, (params, opt_state), None, length=length)
+
     @jax.jit
-    def run(params, batch, gamma):
+    def interleave(params, batch, gamma):
         V = batch["V"]
 
         def outer(carry, _):
             params, opt_state = carry
             v = mlp.mlp_apply(params, batch["x"], act)
-            u = _normalize(v)
-            target = _flow_step(u, V, gamma)
+            target = _flow_step(_normalize(v), V, gamma)
             mu_grid = _grid_mu(target, V, gamma)
-
-            def inner(c, _):
-                p, s = c
-                def mse(p):
-                    out = mlp.mlp_apply(p, batch["x"], act)
-                    return jnp.mean((_normalize(out) - target) ** 2)
-                l, g = jax.value_and_grad(mse)(p)
-                updates, s = inner_opt.update(g, s, p)
-                return (optax.apply_updates(p, updates), s), l
-
-            (params, opt_state), fits = jax.lax.scan(inner, (params, opt_state),
-                                                     None, length=inner_steps)
+            (params, opt_state), fits = _distill_scan(
+                params, opt_state, batch["x"], target, inner_steps)
             return (params, opt_state), (mu_grid, fits[-1])
 
-        def _grid_mu(u, V, gamma):
-            g = u.reshape((n_side,) * dim)
-            if dim == 1:
-                lap = jnp.real(jnp.fft.ifft(-k2 * jnp.fft.fft(g))).ravel()
-            else:
-                lap = jnp.real(jnp.fft.ifft2(-k2 * jnp.fft.fft2(g))).ravel()
-            hu = hamiltonian_apply(u, lap, V, gamma, spec.p, spec.kinetic,
-                                   spec.nonlinearity)
-            return jnp.sum(u * hu) * vol
-
         opt_state = inner_opt.init(params)
-        (params, opt_state), (mus, fits) = jax.lax.scan(outer, (params, opt_state),
-                                                        None, length=outer_steps)
+        (params, opt_state), (mus, fits) = jax.lax.scan(
+            outer, (params, opt_state), None, length=outer_steps)
+        return params, opt_state, mus, fits
 
-        # Endgame: the interleaved fixed point carries an O(fit error / flow
-        # contraction) bias. Run the PURE grid flow to convergence from the
-        # net's values (this is exactly validate/imaginary_time.py on-device),
-        # then one long distillation fit onto the converged target.
-        v = mlp.mlp_apply(params, batch["x"], act)
-        target = _normalize(v)
-
-        def pure_flow(u, _):
-            return _flow_step(u, V, gamma), None
-
-        target, _ = jax.lax.scan(pure_flow, target, None,
-                                 length=max(final_flow_steps // (2 * flow_substeps), 1))
-
-        def fine_flow(u, _):
-            return _flow_step(u, V, gamma, f_tau, kin_prop_f, flow_substeps), None
-
-        target, _ = jax.lax.scan(fine_flow, target, None,
-                                 length=max(final_flow_steps // flow_substeps, 1))
-        mu_tau = _grid_mu(target, V, gamma)
-
-        # Richardson over τ: the renormalized splitting biases μ at O(τ)
-        # (first order — μ is not stationary w.r.t. the nonlinear term).
-        kin_prop_h = jnp.exp(-(f_tau / 2.0) * spec.kinetic * k2)
-
-        def finer_flow(u, _):
-            return _flow_step(u, V, gamma, f_tau / 2.0, kin_prop_h, flow_substeps), None
-
-        target, _ = jax.lax.scan(finer_flow, target, None,
-                                 length=max(final_flow_steps // flow_substeps, 1))
-        mu_tau_half = _grid_mu(target, V, gamma)
-        mu_grid_final = 2.0 * mu_tau_half - mu_tau
-
-        def final_inner(c, _):
-            p, s = c
-            def mse(p):
-                out = mlp.mlp_apply(p, batch["x"], act)
-                return jnp.mean((_normalize(out) - target) ** 2)
-            l, g = jax.value_and_grad(mse)(p)
-            updates, s = inner_opt.update(g, s, p)
-            return (optax.apply_updates(p, updates), s), l
-
-        (params, _), final_fits = jax.lax.scan(final_inner, (params, opt_state),
-                                               None, length=final_inner_steps)
-        mus = jnp.concatenate([mus, mu_grid_final[None]])
-        fits = jnp.concatenate([fits, final_fits[-1:]])
-
+    @jax.jit
+    def report(params, batch, gamma):
         # mesh-free report from analytic derivatives
         n = mlp.mlp_vgl(params, batch["x"], act)
         norm = jnp.sqrt(jnp.sum(n.value**2) * vol + 1e-30)
         u = n.value / norm
         lap = n.lap / norm
-        hu = hamiltonian_apply(u, lap, V, gamma, spec.p, spec.kinetic,
+        hu = hamiltonian_apply(u, lap, batch["V"], gamma, spec.p, spec.kinetic,
                                spec.nonlinearity)
-        den = jnp.sum(u * u)
-        mu = jnp.sum(u * hu) / (den + 1e-12)
+        mu = jnp.sum(u * hu) / (jnp.sum(u * u) + 1e-12)
         r = hu - mu * u
-        return params, mu, jnp.mean(r * r), mus, fits
+        return mu, jnp.mean(r * r)
 
     def solver(params, batch, gamma) -> FlowResult:
-        params, mu, pde, mus, fits = run(params, batch, jnp.asarray(gamma, jnp.float32))
-        return FlowResult(params, float(mu), float(mus[-1]), float(pde),
-                          np.asarray(mus), np.asarray(fits))
+        g32 = jnp.asarray(gamma, jnp.float32)
+        params, opt_state, mus, fits = interleave(params, batch, g32)
+
+        # Endgame: tolerance-converged float64 flow from the net's values,
+        # Richardson-extrapolated in τ (removes the O(τ) renormalization bias).
+        v = np.asarray(mlp.mlp_apply(params, batch["x"], act), np.float64)
+        u0 = (v / np.sqrt(np.sum(v * v) * vol)).reshape((n_side,) * dim)
+        V64 = np.asarray(batch["V"], np.float64).reshape((n_side,) * dim)
+        mu_grid, psi = imaginary_time_gpe(
+            V64, dx, float(gamma), kinetic=spec.kinetic, p=spec.p,
+            tau=endgame_tau, steps=endgame_steps, tol=endgame_tol, psi0=u0,
+            richardson=True)
+        target = jnp.asarray(psi.ravel(), batch["x"].dtype)
+
+        # The interleaved phase fits normalize(out), leaving the net's raw
+        # scale arbitrary; divide the LINEAR output layer by ‖out‖ exactly so
+        # the raw-value fit below starts at the normalized-fit quality instead
+        # of spending its budget moving the global scale.
+        c = float(np.sqrt(np.sum(v * v) * vol))
+        w_last, b_last = params[-1]
+        params = tuple(params[:-1]) + ((w_last / c, b_last / c),)
+
+        # Final distillation: fit the RAW net output to the normalized f64
+        # target (Adam → LBFGS). Fitting raw values (not normalize(out)) also
+        # pins the net's own scale to ∫ψ²=1, so downstream residual polish and
+        # reporting see a normalized carrier.
+        params, final_mse = pretrain_to_base(
+            params, batch["x"], target, act, epochs=final_inner_steps,
+            lbfgs_steps=final_lbfgs_steps)
+        mu, pde = report(params, batch, g32)
+
+        mu_hist = np.concatenate([np.asarray(mus), [mu_grid]])
+        fit_hist = np.concatenate([np.asarray(fits), [final_mse]])
+        return FlowResult(params, float(mu), float(mu_grid), float(pde),
+                          mu_hist, fit_hist, psi.ravel())
 
     return solver

@@ -30,7 +30,10 @@ def test_spectral_flow_1d_linear_and_interacting():
 
     res10 = solver(res0.params, batch, 10.0)
     x = np.linspace(-10, 10, 256)
-    mu_ref, _ = imaginary_time_gpe(x * x, x[1] - x[0], 10.0)
-    assert abs(res10.mu_grid - mu_ref) < 2e-3
-    assert abs(res10.mu - mu_ref) < 2e-2
+    # Richardson-extrapolated oracle: the plain τ=5e-3 flow carries an O(τ)
+    # renormalization bias of ~3.7e-3 here, larger than the solver's own error
+    mu_ref, _ = imaginary_time_gpe(x * x, x[1] - x[0], 10.0, tau=2e-3,
+                                   richardson=True)
+    assert abs(res10.mu_grid - mu_ref) < 3e-4
+    assert abs(res10.mu - mu_ref) < 1e-2
     assert res10.mu_grid > res0.mu_grid            # repulsive shift
