@@ -1,13 +1,22 @@
-"""Benchmark: GPE residual-eval throughput (collocation pts/sec/chip).
+"""Benchmark: GPE residual-eval + training-step throughput (pts/sec/chip).
 
-Measures the full PINN residual evaluation — wavefunction, Laplacian (via
-forward-Laplacian propagation), Rayleigh-quotient μ, PDE residual MSE — on the
-flagship 2D GPE config (BASELINE.json #3: harmonic trap, ~50k collocation
-points, [2,100,100,100,1] net) on one chip, and compares against the
-CPU/PyTorch reference implementation style (nested `autograd.grad` Laplacian,
-gross_pitaevskii_2D.py:183-188) measured in-process.
+Measures, on the flagship 2D GPE config (BASELINE.json #3: harmonic trap,
+~50k collocation points, [2,100,100,100,1] net) on one chip:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. eval: the FULL loss evaluation — wavefunction, Laplacian (forward-Laplacian
+   propagation), Rayleigh-quotient μ, PDE residual MSE, boundary and
+   normalization terms. The jitted function returns the TOTAL loss (plus μ),
+   so no term is dead-code-eliminated.
+2. train: a full training step — value_and_grad of the total loss + Adam
+   update (the number that bounds end-to-end epochs/sec).
+3. bf16: the eval path with bf16 activations/GEMMs and f32 quadrature
+   accumulations (the TPU mixed-precision contract, SURVEY.md §2.G).
+
+Baseline: reference-style residual eval (nested reverse-mode autograd
+Laplacian, gross_pitaevskii_2D.py:183-188) in torch on CPU — the reference's
+hardware envelope (it publishes no throughput numbers).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 from __future__ import annotations
 
@@ -22,32 +31,92 @@ WARMUP = 3
 ITERS = 20
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_torch_baseline.json")
+# v5e peak: ~394 TFLOP/s bf16 (the default matmul precision on TPU — what
+# this bench's GEMMs actually run at). For the MFU diagnostic only.
+PEAK_FLOPS = float(os.environ.get("GPE_TPU_PEAK_FLOPS", 394e12))
+
+
+def _spec(dtype):
+    import jax.numpy as jnp
+    from gpe_tpu.train import GPESpec
+    return GPESpec(dim=2, n_points=N_SIDE, layers=LAYERS, potential="harmonic",
+                   potential_kwargs=(("a", 0.5),), kinetic=0.5, basis="hermite",
+                   lb=-6.0, ub=6.0, nonlinearity="abs_power",
+                   dtype={"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype])
+
+
+def _time(fn, *args):
+    for _ in range(WARMUP):
+        out = fn(*args)
+    _block(out)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(*args)
+    _block(out)
+    return (time.perf_counter() - t0) / ITERS
+
+
+def _block(out):
+    import jax
+    jax.block_until_ready(out)
+
+
+def _gemm_flops_per_eval(n_pts: int, dim: int) -> float:
+    """Forward-Laplacian GEMM FLOPs: the (value, d gradient channels, lap)
+    stack multiplies every layer GEMM by (dim + 2)."""
+    per_pt = sum(2 * a * b for a, b in zip(LAYERS[:-1], LAYERS[1:]))
+    return n_pts * per_pt * (dim + 2)
 
 
 def bench_jax():
     import jax
     import jax.numpy as jnp
+    import optax
     from gpe_tpu.models import mlp
-    from gpe_tpu.train import GPESpec, make_batch, make_loss_fn
+    from gpe_tpu.train import make_batch, make_loss_fn
 
-    spec = GPESpec(dim=2, n_points=N_SIDE, layers=LAYERS, potential="harmonic",
-                   potential_kwargs=(("a", 0.5),), kinetic=0.5, basis="hermite",
-                   lb=-6.0, ub=6.0, nonlinearity="abs_power")
+    spec = _spec("f32")
     batch = make_batch(spec, 0)
     loss_fn = make_loss_fn(spec)
     params = mlp.init_mlp(jax.random.PRNGKey(0), spec.layers)
     n_pts = batch["x"].shape[0]
-
-    fn = jax.jit(lambda p, b, g, s: loss_fn(p, b, g, s)[1]["mu"])
     gamma, scale = jnp.float32(100.0), jnp.float32(0.01)
-    for _ in range(WARMUP):
-        fn(params, batch, gamma, scale).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        mu = fn(params, batch, gamma, scale)
-    mu.block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
-    return n_pts / dt, n_pts, float(mu)
+
+    # 1. full loss eval — returns (total, mu): nothing dead-code-eliminated
+    eval_fn = jax.jit(lambda p, b, g, s: loss_fn(p, b, g, s)[0])
+    dt_eval = _time(eval_fn, params, batch, gamma, scale)
+
+    # 2. full training step (value_and_grad + Adam update)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(p, st, b, g, s):
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, b, g, s)
+        updates, st = opt.update(grads, st, p)
+        return optax.apply_updates(p, updates), st, total
+
+    dt_train = _time(lambda p, st: train_step(p, st, batch, gamma, scale),
+                     params, opt_state)
+
+    # 3. bf16 eval path (f32 quadrature accumulation)
+    spec16 = _spec("bf16")
+    batch16 = make_batch(spec16, 0)
+    loss16 = make_loss_fn(spec16)
+    params16 = mlp.init_mlp(jax.random.PRNGKey(0), spec16.layers,
+                            dtype=jnp.bfloat16)
+    eval16 = jax.jit(lambda p, b, g, s: loss16(p, b, g, s)[0])
+    dt_eval16 = _time(eval16, params16, batch16, gamma, scale)
+
+    total = float(eval_fn(params, batch, gamma, scale))
+    mfu = _gemm_flops_per_eval(n_pts, 2) / dt_eval / PEAK_FLOPS
+    return {
+        "n_pts": n_pts, "total_loss": total,
+        "eval_pts_per_sec": n_pts / dt_eval,
+        "train_step_pts_per_sec": n_pts / dt_train,
+        "bf16_eval_pts_per_sec": n_pts / dt_eval16,
+        "eval_mfu": mfu,
+    }
 
 
 def bench_torch_reference():
@@ -97,18 +166,22 @@ def bench_torch_reference():
 
 
 def main():
-    jax_pts_per_sec, n_pts, mu = bench_jax()
+    r = bench_jax()
     try:
         ref_pts_per_sec = bench_torch_reference()
-        vs = jax_pts_per_sec / ref_pts_per_sec
+        vs = r["eval_pts_per_sec"] / ref_pts_per_sec
     except Exception as e:  # torch missing/broken — report absolute number
         print(f"torch baseline failed: {e}", file=sys.stderr)
         vs = float("nan")
     print(json.dumps({
-        "metric": "gpe2d_residual_eval_pts_per_sec_per_chip",
-        "value": round(jax_pts_per_sec),
+        "metric": "gpe2d_loss_eval_pts_per_sec_per_chip",
+        "value": round(r["eval_pts_per_sec"]),
         "unit": "collocation_pts/s",
         "vs_baseline": round(vs, 2),
+        "train_step_pts_per_sec": round(r["train_step_pts_per_sec"]),
+        "bf16_eval_pts_per_sec": round(r["bf16_eval_pts_per_sec"]),
+        "eval_mfu": round(r["eval_mfu"], 4),
+        "total_loss": r["total_loss"],
     }))
 
 

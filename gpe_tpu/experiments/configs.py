@@ -23,6 +23,7 @@ class ExperimentConfig:
     perturb_const: float = 0.01
     lr: float = 1e-3
     pretrain_epochs: int = 2000
+    p_values: tuple = (2.0, 3.0, 4.0, 5.0)   # p-ramp runs (D12)
     n_runs: int = 1                      # >1 → multi-seed statistical protocol
     seed: int = 0
     rebase: bool = False
@@ -129,6 +130,50 @@ _register(ExperimentConfig(
                  bc_weight=10.0, norm_weight=20.0),
     gamma_values=(0.0, 5.0, 10.0, 20.0, 35.0, 50.0, 70.0, 100.0),
     epochs=8000, rebase=True))
+
+_register(ExperimentConfig(
+    name="gpe2d_circle",                         # gross_pitaevskii_2D.py:277-295
+    # circular training domain r=π/2 around (π/2,π/2), N_f=10000, N_u=500
+    spec=GPESpec(dim=2, lb=0.0, ub=3.141592653589793, n_points=100,
+                 geometry="disk", n_boundary=500,
+                 layers=(2, 100, 100, 100, 1), activation="tanh",
+                 potential="gaussian",
+                 potential_kwargs=(("V0", 1.0), ("center", (1.5707963267948966, 1.5707963267948966)), ("sigma", 0.5)),
+                 kinetic=0.5, nonlinearity="abs_power", use_perturbation=False,
+                 bc_weight=10.0, norm_weight=20.0),
+    algorithm="fit", gamma_values=(10.0,), epochs=3000))
+
+# --- β-sweep experiment family (reference D8, vary_potential_parameter_*) ----
+
+_register(ExperimentConfig(
+    name="vary_beta_harmonic",                   # vary_potential_parameter_harmonic.py main
+    spec=replace(_PAPER_1D, lb=0.0, ub=5.0, hard_bc=True, basis="box",
+                 potential="harmonic"),
+    algorithm="beta_sweep",
+    beta_values=tuple(0.01 * k for k in range(101)),
+    gamma_values=(0.0,), modes=(0,), epochs=2001))
+
+_register(ExperimentConfig(
+    name="vary_beta_gravity_well",               # vary_potential_parameter_gravity_well.py
+    spec=replace(_PAPER_1D, lb=0.0, ub=35.0, potential="linear", basis="airy"),
+    algorithm="beta_sweep",
+    beta_values=(1.0, 20.0, 40.0, 60.0, 80.0, 100.0),
+    gamma_values=(0.0,), modes=(0,), epochs=2001))
+
+_register(ExperimentConfig(
+    name="vary_beta_box_gaussian",               # vary_potential_parameter_box_and_gaussian.py
+    # hard-walled box whose base stays the box sine while a gaussian bump
+    # V = β·exp(−x²/2) ramps in — the box→gaussian interpolation (:141-151)
+    spec=replace(_PAPER_1D, lb=0.0, ub=1.0, potential="gaussian",
+                 potential_kwargs=(("sigma", 1.0),), basis="box", hard_bc=True),
+    algorithm="beta_sweep",
+    beta_values=tuple(0.05 * k for k in range(21)),
+    gamma_values=(0.0,), modes=(0,), epochs=2001))
+
+_register(ExperimentConfig(
+    name="p_ramp_harmonic",                      # ..._and_Nonlinearity_Powers.py (D12)
+    spec=replace(_PAPER_1D, nonlinearity="abs_power"),
+    algorithm="p_ramp", gamma_values=(10.0,), modes=(0,), epochs=2001))
 
 # --- loss-strategy experiments (reference C5/C9/C11/C12) ---------------------
 

@@ -60,7 +60,8 @@ def main(argv=None):
     solver = make_spectral_flow_solver(spec, outer_steps=args.outer,
                                        inner_steps=args.inner, tau=2e-2,
                                        final_inner_steps=4000,
-                                       final_lbfgs_steps=400)
+                                       final_lbfgs_steps=400,
+                                       polish_steps=60)
     results = []
     for g in args.gammas:
         t1 = time.time()

@@ -22,6 +22,8 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--modes", type=int, nargs="*", default=None)
     ap.add_argument("--gammas", type=float, nargs="*", default=None)
+    ap.add_argument("--betas", type=float, nargs="*", default=None)
+    ap.add_argument("--pretrain", type=int, default=None)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--plots", action="store_true", help="regenerate plots only")
@@ -52,6 +54,10 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, modes=tuple(args.modes))
     if args.gammas is not None:
         cfg = dataclasses.replace(cfg, gamma_values=tuple(args.gammas))
+    if args.betas is not None:
+        cfg = dataclasses.replace(cfg, beta_values=tuple(args.betas))
+    if args.pretrain is not None:
+        cfg = dataclasses.replace(cfg, pretrain_epochs=args.pretrain)
     if args.seed is not None:
         cfg = dataclasses.replace(cfg, seed=args.seed)
 
@@ -83,6 +89,36 @@ def main(argv=None):
                               seed=cfg.seed, verbose=True)
         print(json.dumps({"experiment": cfg.name, "mu_beta": res.mu_beta,
                           "mu_gamma": res.mu_gamma,
+                          "wall_s": round(time.time() - t0, 1)}))
+    elif cfg.algorithm == "beta_sweep":
+        from gpe_tpu.train.beta_sweep import train_beta_sweep
+        if args.train or not os.path.exists(bundle_path):
+            res = train_beta_sweep(cfg.spec, cfg.beta_values,
+                                   gamma=cfg.gamma_values[0], modes=cfg.modes,
+                                   epochs=cfg.epochs, tol=cfg.tol,
+                                   patience=cfg.patience,
+                                   perturb_const=cfg.perturb_const, lr=cfg.lr,
+                                   seed=cfg.seed,
+                                   pretrain_epochs=cfg.pretrain_epochs,
+                                   verbose=True)
+            save_bundle(bundle_path, res, cfg.spec)
+        bundle = load_bundle(bundle_path)
+        viz.use_publication_style()
+        viz.plot_mu_vs_gamma(bundle["mu_table"], out_dir, "mu_vs_beta.png",
+                             every=1, xlabel="β")
+        viz.plot_epochs_heatmap(bundle["epochs_history"], out_dir,
+                                "epochs_vs_beta_heatmap.png", xlabel="β")
+        viz.plot_loss_history(bundle["training_history"], out_dir)
+        print(json.dumps({"experiment": cfg.name,
+                          "mu_table_tail": {str(m): v[-1] for m, v in bundle["mu_table"].items()},
+                          "wall_s": round(time.time() - t0, 1)}))
+    elif cfg.algorithm == "p_ramp":
+        from gpe_tpu.train.p_ramp import train_p_ramp
+        res = train_p_ramp(cfg.spec, cfg.p_values, cfg.gamma_values[0],
+                           mode=cfg.modes[0], epochs=cfg.epochs, tol=cfg.tol,
+                           patience=cfg.patience, lr=cfg.lr, seed=cfg.seed,
+                           pretrain_epochs=cfg.pretrain_epochs, verbose=True)
+        print(json.dumps({"experiment": cfg.name, "mu_table": res.mu_table,
                           "wall_s": round(time.time() - t0, 1)}))
     elif cfg.algorithm == "relobralo":
         import jax

@@ -72,6 +72,38 @@ def load_params(path: str) -> Any:
         return pickle.load(f)
 
 
+class SweepCheckpointer:
+    """Periodic mid-sweep checkpoint/resume for continuation ramps.
+
+    The reference only persists END-of-run bundles (E1/E2); a 201-step γ ramp
+    that dies at step 150 loses everything. This keeps a {key: payload} store
+    on disk, atomically rewritten after every continuation step, so
+    `train_plpinn(..., checkpoint_path=...)` resumes exactly where it stopped
+    (per-(mode, γ) best params, μ, histories, epochs, normalization const).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._store: dict = {}
+        if path and os.path.exists(path):
+            with open(path, "rb") as f:
+                self._store = pickle.load(f)
+
+    def get(self, key: str):
+        return self._store.get(key)
+
+    def put(self, key: str, payload) -> None:
+        self._store[key] = _to_numpy(payload)
+        tmp = self.path + ".tmp"
+        os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
+        with open(tmp, "wb") as f:
+            pickle.dump(self._store, f)
+        os.replace(tmp, self.path)      # atomic on POSIX
+
+    def keys(self):
+        return sorted(self._store)
+
+
 def train_or_load(path: str, train_fn, force_train: bool = False):
     """The reference's `train_new` switch (harmonic_pinn_simulation.py:997):
     load the bundle if present, otherwise run train_fn() and save it."""

@@ -58,7 +58,10 @@ def gpe_terms(u, grad, lap, bv, V, w, gamma, cfg: GPETerms,
                            cfg.nonlinearity)
 
     def _red(v):
-        s = jnp.sum(v)
+        # f32 accumulation regardless of element dtype: the bf16 mixed-
+        # precision path keeps activations/GEMMs in bf16 but every quadrature
+        # reduction (μ numerator/denominator, ∫u², residual MSE) in f32
+        s = jnp.sum(v, dtype=jnp.float32)
         if axis_name is not None:
             s = jax.lax.psum(s, axis_name)
         return s
@@ -71,7 +74,7 @@ def gpe_terms(u, grad, lap, bv, V, w, gamma, cfg: GPETerms,
 
     # Dirichlet boundary: full solution → 0 (C6). Boundary points are
     # replicated across shards, so a local mean is already global.
-    losses["boundary"] = jnp.mean(bv * bv)
+    losses["boundary"] = jnp.mean(bv * bv, dtype=jnp.float32)
 
     # Normalization ∫|ψ|² = 1 (C7).
     if cfg.norm_style == "riemann":

@@ -43,17 +43,22 @@ def riemann_weights(lb, ub, n: int, d: int = 1) -> jnp.ndarray:
 
 
 def integrate(fx: jnp.ndarray, w: jnp.ndarray, axis_name: str | None = None) -> jnp.ndarray:
-    """∫f ≈ Σᵢ wᵢ f(xᵢ); cross-device psum over `axis_name` when sharded."""
-    s = jnp.sum(w * fx)
+    """∫f ≈ Σᵢ wᵢ f(xᵢ); cross-device psum over `axis_name` when sharded.
+
+    Accumulates in float32 regardless of the element dtype — the TPU-native
+    mixed-precision contract (bf16 activations, f32 quadrature accumulations;
+    SURVEY.md §2.G)."""
+    s = jnp.sum((w * fx).astype(jnp.float32))
     if axis_name is not None:
         s = jax.lax.psum(s, axis_name)
     return s
 
 
 def wmean(fx: jnp.ndarray, axis_name: str | None = None) -> jnp.ndarray:
-    """Mean over collocation points, psum-aware (the reference's torch.mean)."""
-    s = jnp.sum(fx)
-    n = jnp.asarray(fx.size, fx.dtype)
+    """Mean over collocation points, psum-aware (the reference's torch.mean).
+    f32 accumulation (see `integrate`)."""
+    s = jnp.sum(fx, dtype=jnp.float32)
+    n = jnp.asarray(fx.size, jnp.float32)
     if axis_name is not None:
         s = jax.lax.psum(s, axis_name)
         n = jax.lax.psum(n, axis_name)

@@ -74,13 +74,24 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
                  tol: float = 1e-5, patience: int = 2000, perturb_const: float = 0.01,
                  lr: float = 1e-3, seed: int = 0, pretrain_epochs: int = 2000,
                  check_every: int = 512, keep_params: bool = True,
-                 rebase: bool = False, verbose: bool = False) -> PLPINNResult:
+                 rebase: bool = False, checkpoint_path: str | None = None,
+                 verbose: bool = False) -> PLPINNResult:
     """Run the PL-PINN continuation sweep. Reference-parity entry point.
 
     rebase=True enables incremental-base continuation (see _rebase) — same
-    algorithmic family, dramatically better at large γ."""
-    gamma_values = sorted(float(g) for g in gamma_values)
+    algorithmic family, dramatically better at large γ.
+    checkpoint_path enables periodic mid-sweep checkpoint/resume: every
+    completed (mode, γ) step is persisted and skipped on restart."""
+    gs = [float(g) for g in gamma_values]
+    # continuation ramps in |γ|: ascending for repulsive, descending for the
+    # attractive (negative-γ) family (reference ..._negative_interaction_
+    # strength.py ramps 0 → −40)
+    gamma_values = sorted(gs, reverse=all(g <= 0 for g in gs) and any(g < 0 for g in gs))
     loss_fn = make_loss_fn(spec)
+    ckpt = None
+    if checkpoint_path:
+        from gpe_tpu.io.checkpoint import SweepCheckpointer
+        ckpt = SweepCheckpointer(checkpoint_path)
 
     params_by_mode, mu_table, training_history = {}, {}, {}
     constant_history, epochs_history = {}, {}
@@ -90,7 +101,18 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
         key = jax.random.PRNGKey(seed + 1000 * mi)
         params = mlp.init_mlp(key, spec.layers, "xavier_uniform")
 
-        if spec.use_perturbation:
+        resume_state = ckpt.get(f"state:{mode}") if ckpt else None
+        if resume_state is not None:
+            params = jax.tree.map(jnp.asarray, resume_state["params"])
+            normal_const = float(resume_state["normal_const"])
+            scale = float(resume_state["scale"])
+            done_gammas = set(float(g) for g in resume_state["done_gammas"])
+            if rebase and "base" in resume_state:
+                for k, v in resume_state["base"].items():
+                    batch[k] = jnp.asarray(v)
+            if verbose:
+                print(f"mode {mode}: resumed past {len(done_gammas)} γ steps")
+        elif spec.use_perturbation:
             # Pretrain raw net to the analytic base (γ=0 start of the ramp).
             target = np.asarray(base_triple(spec, mode, batch["x"]).value)
             params, pre_mse = pretrain_to_base(
@@ -100,9 +122,11 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
             # normal_const: max of raw net output at the start (reference :333)
             normal_const = float(jnp.max(mlp.mlp_apply(params, batch["x"], spec.activation)))
             scale = perturb_const / normal_const
+            done_gammas = set()
         else:
             normal_const = 1.0
             scale = 1.0
+            done_gammas = set()
         constant_history[mode] = normal_const
 
         mus, by_gamma_params, by_gamma_hist, by_gamma_epochs = [], {}, {}, {}
@@ -113,6 +137,16 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
             "adam", cosine_warm_restarts(lr, T_0=200, T_mult=2, eta_min=1e-6),
             clip_norm=1.0)
         for gamma in gamma_values:
+            if ckpt is not None and gamma in done_gammas:
+                saved = ckpt.get(f"{mode}:{gamma!r}")
+                if saved is not None:
+                    mus.append((gamma, float(saved["mu"])))
+                    if keep_params:
+                        by_gamma_params[gamma] = saved["params"]
+                    by_gamma_hist[gamma] = {"loss": saved["loss_history"],
+                                            "mu": saved["mu_history"]}
+                    by_gamma_epochs[gamma] = int(saved["epochs_run"])
+                    continue
             res = fit(loss_fn, optimizer, params, batch, gamma, scale,
                       epochs=epochs, tol=tol, patience=patience, check_every=check_every)
             # Warm-start from the restored best state (the reference loads
@@ -129,6 +163,20 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
                       f"loss={res.best_loss:.3e} epochs={res.epochs_run}")
             if rebase:
                 batch, params = _rebase(spec, batch, params, scale)
+            if ckpt is not None:
+                done_gammas.add(gamma)
+                ckpt.put(f"{mode}:{gamma!r}", {
+                    "mu": res.mu, "params": res.params,
+                    "loss_history": res.loss_history,
+                    "mu_history": res.mu_history,
+                    "epochs_run": res.epochs_run})
+                state = {"params": params, "normal_const": normal_const,
+                         "scale": scale, "done_gammas": sorted(done_gammas)}
+                if rebase:
+                    state["base"] = {k: batch[k] for k in
+                                     ("base_val", "base_grad", "base_lap",
+                                      "base_bval") if k in batch}
+                ckpt.put(f"state:{mode}", state)
 
         params_by_mode[mode] = by_gamma_params
         mu_table[mode] = mus

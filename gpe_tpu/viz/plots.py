@@ -175,3 +175,24 @@ def plot_thomas_fermi_overlay(x, u_pinn, mu, V, gamma, save_dir=".",
     ax.set_title(f"γ={gamma:g}, μ={mu:.4f}")
     ax.legend()
     return _savefig(fig, save_dir, fname)
+
+
+def plot_mode0_cross_potential(loss_by_potential: dict, save_dir=".",
+                               fname="mode0_cross_potential.png", smooth: int = 1):
+    """F6: cross-potential mode-0 loss comparison — overlays the mode-0 loss
+    curves of several potentials' bundles on one log-y axis (reference:
+    final/refine/mode_0_loss_for_all_potentials.py:41-138, which loads the
+    harmonic/box/gravity-well/gaussian pickles and overlays them).
+
+    loss_by_potential: {potential_label: 1-D loss history array}.
+    """
+    fig, ax = plt.subplots(figsize=(6.5, 4.5))
+    for label, loss in sorted(loss_by_potential.items()):
+        loss = np.asarray(loss)
+        if smooth > 1 and loss.size > smooth:
+            loss = np.convolve(loss, np.ones(smooth) / smooth, mode="valid")
+        ax.semilogy(loss, lw=1.0, label=str(label))
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("mode-0 total loss")
+    ax.legend()
+    return _savefig(fig, save_dir, fname)
