@@ -147,6 +147,12 @@ def make_helmholtz_loss(spec: HelmholtzSpec):
         ub_pred = mlp.mlp_apply(params["net"], batch["bx"], spec.activation)
         bc = jnp.mean((ub_pred - batch["bu"]) ** 2)
         bc_w = params.get("bc_scale", spec.bc_weight) if isinstance(params, dict) else spec.bc_weight
+        if spec.learnable_bc_scale and "bc_scale" in params:
+            # The reference trains bc_scale by plain descent on bc_scale·MSE,
+            # which is unbounded below (bc_scale → −∞). Keep the value but
+            # flip its gradient (2·sg(w)−w): the weight ASCENDS toward the
+            # hardest constraint — SA-PINN min-max semantics.
+            bc_w = 2.0 * jax.lax.stop_gradient(bc_w) - bc_w
 
         data = jnp.mean((n.value - batch["u_exact"]) ** 2) if spec.learnable_k else 0.0
 

@@ -27,6 +27,46 @@ from jax import shard_map
 AXIS = "data"
 
 
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> bool:
+    """Initialize multi-host (DCN) execution via jax.distributed.
+
+    On TPU pods the arguments are discovered from the environment
+    (megascale/TPU metadata), so `initialize_multihost()` with no arguments is
+    correct there; on CPU/GPU clusters pass coordinator_address
+    ("host:port"), num_processes, and process_id explicitly (or set
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+
+    Returns True when a multi-process runtime was initialized, False when
+    this is a plain single-process session (no coordinator configured) — the
+    single-host-multi-chip path needs no initialization: the same
+    `make_mesh` + `shard_map` code runs over ICI unchanged, and after
+    initialization it runs over ICI+DCN with jax.devices() spanning all hosts.
+    """
+    import os
+
+    coord = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    on_pod_env = any(os.environ.get(k) for k in
+                     ("MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"))
+    if coord is None and not on_pod_env:
+        return False
+    if jax.process_count() > 1:      # already initialized
+        return True
+    try:
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        if coord is None:
+            # ambient pod-ish env vars but the XLA backend is already up in a
+            # single-process session (e.g. this image's axon TPU runtime) —
+            # treat as single-host
+            return jax.process_count() > 1
+        raise
+    return True
+
+
 def make_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)

@@ -64,3 +64,9 @@ def test_parallel_2d():
     t_ref, _ = loss_fn(params, batch, jnp.float32(10.0), jnp.float32(0.01))
     t_par, _ = ploss(params, sbatch, jnp.float32(10.0), jnp.float32(0.01))
     np.testing.assert_allclose(float(t_par), float(t_ref), rtol=1e-5)
+
+
+def test_initialize_multihost_single_process_noop():
+    from gpe_tpu.parallel import initialize_multihost
+    # no coordinator configured on this machine -> graceful single-host no-op
+    assert initialize_multihost() is False
