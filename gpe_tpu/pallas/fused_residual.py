@@ -1,0 +1,191 @@
+"""Fused GPE loss-evaluation kernel (Pallas/TPU).
+
+One kernel evaluates, per collocation row-tile, the ENTIRE forward-Laplacian
+MLP (value + d Jacobian channels + Laplacian stacked into one GEMM per layer),
+applies the GPE Hamiltonian Hu = −c·Δu + V·u + γ|u|^{p−1}u, and accumulates
+the four global sums that determine the loss:
+
+    S = (Σ (Hu)²,  Σ u·Hu,  Σ u²,  Σ u²·w)
+
+from which μ = S₁/S₂, pde = (S₀ − 2μS₁ + μ²S₂)/N and the normalization
+(S₃ − 1)² follow exactly. The whole state tensor (4·TILE × 128) lives in VMEM
+across every layer — the XLA path materializes the (N, d+2, width) inter-layer
+state in HBM at 50k-point scale (≈80 MB/layer of traffic), which is the resid-
+ual memory-bandwidth cost this kernel removes.
+
+Scope: the vanilla ansatz (u = scale·net(x)) on scalar-output MLPs — the
+flagship/bench evaluation path. Training still uses the XLA path (the kernel
+defines no VJP); parity is enforced by tests against `make_loss_fn`.
+
+Weights are zero-padded to 128 lanes on the host: padded hidden units carry
+bias 0 → activation σ(0) ≠ 0, but the NEXT layer's padded input ROWS are zero,
+so the extra units never contribute — verified against the unpadded XLA path.
+"""
+from __future__ import annotations
+
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from gpe_tpu.ops.laplacian import activation_triple
+
+LANES = 128
+
+
+def pallas_supported() -> bool:
+    """True when a TPU backend is active (the kernel also runs in interpret
+    mode on CPU for tests)."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _pad_params(params: Sequence[tuple]):
+    """Zero-pad every (W, b) to (128k, 128m) lanes/sublanes."""
+    padded = []
+    for w, b in params:
+        fi, fo = w.shape
+        pi = ((fi + LANES - 1) // LANES) * LANES if fi > 8 else fi
+        po = LANES * ((fo + LANES - 1) // LANES)
+        wp = jnp.zeros((pi, po), jnp.float32).at[:fi, :fo].set(w.astype(jnp.float32))
+        bp = jnp.zeros((po,), jnp.float32).at[:fo].set(b.astype(jnp.float32))
+        padded.append((wp, bp))
+    return padded
+
+
+def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
+                          p: float = 3.0, kinetic: float = 1.0,
+                          nonlinearity: str = "abs_power",
+                          bc_weight: float = 10.0, norm_weight: float = 20.0,
+                          tile: int = 512, interpret: bool = False):
+    """Build eval_fn(params, batch, gamma, scale) -> (total, aux) computing the
+    full GPE loss with the fused Pallas kernel for the collocation terms
+    (boundary term handled by plain XLA — it is tiny).
+
+    `layers` and the physics constants are compile-time; params/γ/scale are
+    runtime. Matches train.problem.make_loss_fn for a vanilla-ansatz GPESpec.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = layers[0]
+    assert layers[-1] == 1, "scalar-output nets only"
+    n_layers = len(layers) - 1
+    act = activation_triple(activation)
+    C = d + 2                              # value + d jacobian rows + laplacian
+
+    def kernel(gamma_ref, scale_ref, x_ref, V_ref, w_ref, *rest):
+        wrefs = rest[:-1]
+        out_ref = rest[-1]
+        i = pl.program_id(0)
+        gamma = gamma_ref[0, 0]
+        scale = scale_ref[0, 0]
+
+        T = x_ref.shape[0]
+        # Build the stacked state (C·T, d): [x; e_1…e_d rows; zeros]
+        blocks = [x_ref[:, :d]]
+        for k in range(d):
+            row = jnp.zeros((1, d), jnp.float32).at[0, k].set(1.0)
+            blocks.append(jnp.broadcast_to(row, (T, d)))
+        blocks.append(jnp.zeros((T, d), jnp.float32))
+        s = jnp.concatenate(blocks, axis=0)              # (C·T, d)
+
+        for li in range(n_layers):
+            W = wrefs[2 * li][...]
+            b = wrefs[2 * li + 1][...]
+            s = jnp.dot(s, W, preferred_element_type=jnp.float32)
+            # bias only enters the VALUE channel; b ref has shape (1, out)
+            s = s.at[0:T, :].add(b)
+            if li < n_layers - 1:
+                y = s[0:T, :]
+                val, d1, d2 = act(y)
+                g2 = jnp.zeros_like(y)
+                parts = [val]
+                for k in range(d):
+                    jk = s[(1 + k) * T:(2 + k) * T, :]
+                    g2 = g2 + jk * jk
+                    parts.append(d1 * jk)
+                lap = s[(1 + d) * T:(2 + d) * T, :]
+                parts.append(d1 * lap + d2 * g2)
+                s = jnp.concatenate(parts, axis=0)
+
+        u = scale * s[0:T, 0]                            # (T,)
+        lap = scale * s[(1 + d) * T:(2 + d) * T, 0]
+        V = V_ref[:, 0]
+        w = w_ref[:, 0]
+        if nonlinearity == "power":
+            nl = gamma * u**p
+        else:
+            nl = gamma * jnp.abs(u) ** (p - 1.0) * u
+        hu = -kinetic * lap + V * u + nl
+
+        sums = jnp.zeros((1, LANES), jnp.float32)
+        sums = sums.at[0, 0].set(jnp.sum(hu * hu))
+        sums = sums.at[0, 1].set(jnp.sum(u * hu))
+        sums = sums.at[0, 2].set(jnp.sum(u * u))
+        sums = sums.at[0, 3].set(jnp.sum(u * u * w))
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[...] = sums
+
+        @pl.when(i > 0)
+        def _():
+            out_ref[...] = out_ref[...] + sums
+
+    def collocation_sums(params, x, V, w, gamma, scale):
+        n = x.shape[0]
+        # padded tail rows would contribute u(0) ≠ 0 to the global sums, so
+        # the point count must tile exactly (every registered config does)
+        assert n % tile == 0, f"collocation count {n} must be divisible by tile={tile}"
+        grid = n // tile
+        xp = jnp.zeros((n, max(d, 8)), jnp.float32).at[:, :d].set(
+            x.astype(jnp.float32))
+        padded = _pad_params(params)
+        flat = []
+        for W, b in padded:
+            flat.extend([W, b.reshape(1, -1)])
+
+        in_specs = [
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, max(d, 8)), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+             for a in flat]
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+            interpret=interpret,
+        )(jnp.reshape(jnp.asarray(gamma, jnp.float32), (1, 1)),
+          jnp.reshape(jnp.asarray(scale, jnp.float32), (1, 1)),
+          xp, V.astype(jnp.float32).reshape(-1, 1),
+          w.astype(jnp.float32).reshape(-1, 1), *flat)
+        return out[0, 0], out[0, 1], out[0, 2], out[0, 3]
+
+    def eval_fn(params, batch, gamma, scale):
+        from gpe_tpu.models import mlp
+
+        hu2, uhu, u2, u2w = collocation_sums(
+            params, batch["x"], batch["V"], batch["w"], gamma, scale)
+        n = batch["x"].shape[0]
+        mu = uhu / (u2 + 1e-12)
+        pde = (hu2 - 2.0 * mu * uhu + mu * mu * u2) / n
+        norm = (u2w - 1.0) ** 2
+        bv = mlp.mlp_apply(params, batch["bx"], activation) * scale
+        boundary = jnp.mean(bv * bv)
+        total = pde + bc_weight * boundary + norm_weight * norm
+        return total, {"pde": pde, "boundary": boundary, "norm": norm,
+                       "mu": mu, "total": total}
+
+    return eval_fn

@@ -90,7 +90,7 @@ def train_beta_sweep(spec: GPESpec, beta_values, gamma: float = 0.0,
                       epochs=epochs, tol=tol, patience=patience,
                       check_every=check_every)
             params = res.params          # warm start from restored best state
-            mus.append((beta, res.mu))
+            mus.append((beta, res.mu_best))
             if keep_params:
                 by_beta_params[beta] = jax.tree.map(np.asarray, res.params)
             by_beta_hist[beta] = {"loss": res.loss_history, "mu": res.mu_history}

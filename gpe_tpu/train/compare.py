@@ -57,7 +57,7 @@ def train_single_model(spec: GPESpec, gamma: float, mode: int = 0,
     opt = make_optimizer("adam", cosine_warm_restarts(lr, 200, 2, 1e-6), clip_norm=1.0)
     res = fit(loss_fn, opt, params, batch, gamma, scale, epochs=epochs, tol=tol,
               patience=patience, check_every=check_every)
-    return MethodRun(res.mu, res.best_loss, res.epochs_run, res.loss_history,
+    return MethodRun(res.mu_best, res.best_loss, res.epochs_run, res.loss_history,
                      res.mu_history, res.params)
 
 

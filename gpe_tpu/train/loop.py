@@ -43,6 +43,9 @@ class FitResult(NamedTuple):
     epochs_run: int
     loss_history: np.ndarray
     mu_history: np.ndarray
+    mu_best: float = 0.0       # μ evaluated at the RESTORED best params — the
+    # μ that corresponds to the params actually returned/warm-started (the
+    # last-epoch μ can sit a few e-3 away from it at the early-stop point)
 
 
 @partial(jax.jit, static_argnames=("loss_fn", "optimizer", "check_every", "tol",
@@ -80,6 +83,19 @@ def _run_chunk(loss_fn, optimizer, carry: FitCarry, batch, gamma, scale,
         return new_c, (loss, aux["mu"])
 
     return jax.lax.scan(step, carry, None, length=check_every)
+
+
+_EVAL_CACHE: dict = {}
+
+
+def _jit_eval(loss_fn):
+    """Per-loss_fn jitted evaluator (cached so repeated fit() calls across a
+    continuation ramp reuse one compilation)."""
+    f = _EVAL_CACHE.get(loss_fn)
+    if f is None:
+        f = jax.jit(loss_fn)
+        _EVAL_CACHE[loss_fn] = f
+    return f
 
 
 def _init_carry(optimizer, params, epochs):
@@ -132,6 +148,10 @@ def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
     loss_history = loss_history[: max(epochs_run, 1)]
     mu_history = mu_history[: max(epochs_run, 1)]
 
+    s_final = scale if scale_schedule is None \
+        else scale_schedule(jnp.asarray(epochs_run))
+    _, aux_best = _jit_eval(loss_fn)(carry.best_params, batch, gamma, s_final)
+
     return FitResult(
         params=carry.best_params,
         final_params=carry.params,
@@ -140,6 +160,7 @@ def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
         epochs_run=epochs_run,
         loss_history=loss_history,
         mu_history=mu_history,
+        mu_best=float(aux_best["mu"]),
     )
 
 

@@ -66,7 +66,7 @@ def train_p_ramp(spec: GPESpec, p_values, gamma: float, mode: int = 0,
                   check_every=check_every)
         params = res.params              # warm start the next p
         params_by_p[p] = jax.tree.map(np.asarray, res.params)
-        mus.append((p, res.mu))
+        mus.append((p, res.mu_best))
         hist[p] = {"loss": res.loss_history, "mu": res.mu_history}
         eps[p] = res.epochs_run
         if verbose:

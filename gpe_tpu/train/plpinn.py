@@ -153,7 +153,7 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
             # best_model_state before handing the model to the next γ,
             # harmonic_pinn_simulation.py:402-404,427).
             params = res.params
-            mus.append((gamma, res.mu))
+            mus.append((gamma, res.mu_best))
             if keep_params:
                 by_gamma_params[gamma] = jax.tree.map(np.asarray, res.params)
             by_gamma_hist[gamma] = {"loss": res.loss_history, "mu": res.mu_history}
@@ -166,7 +166,7 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
             if ckpt is not None:
                 done_gammas.add(gamma)
                 ckpt.put(f"{mode}:{gamma!r}", {
-                    "mu": res.mu, "params": res.params,
+                    "mu": res.mu_best, "params": res.params,
                     "loss_history": res.loss_history,
                     "mu_history": res.mu_history,
                     "epochs_run": res.epochs_run})
