@@ -34,6 +34,7 @@ class GPETerms:
     use_riesz: bool = False              # Riesz energy term (mode-0 objective)
     anti_trivial: bool = False           # eigenvalue regularizers (C9)
     anti_trivial_c: float = 2.0
+    width_penalty: bool = False          # C13: −γ·mean(|x|²u²) wide-solution bias
 
 
 class TermsOutput(NamedTuple):
@@ -43,7 +44,8 @@ class TermsOutput(NamedTuple):
 
 
 def gpe_terms(u, grad, lap, bv, V, w, gamma, cfg: GPETerms,
-              axis_name: str | None = None, u_reflect=None) -> TermsOutput:
+              axis_name: str | None = None, u_reflect=None,
+              x2=None) -> TermsOutput:
     """All GPE loss terms from precomputed complete-solution arrays.
 
     u, grad, lap: (N,), (N,d), (N,) complete solution ψ on collocation points
@@ -93,6 +95,12 @@ def gpe_terms(u, grad, lap, bv, V, w, gamma, cfg: GPETerms,
         losses["riesz"] = riesz_energy(u, grad, V, w, gamma, cfg.p,
                                        cfg.kinetic, normalize=True,
                                        axis_name=axis_name)
+
+    # Width penalty (C13, experimental in the reference — disabled at
+    # src/..._Different_Optimizers.py:434-437): −γ·mean(|x|²·u²) rewards wide
+    # solutions at strong repulsion. x2 = |x|² precomputed by the caller.
+    if cfg.width_penalty and x2 is not None:
+        losses["width"] = -gamma * _red(x2 * u * u) / n_pts
 
     # Anti-trivial-solution regularizers (C9, arXiv:2010.05075 style; active
     # in the reference's 2D solver, gross_pitaevskii_2D.py:197-211).

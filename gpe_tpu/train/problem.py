@@ -56,6 +56,7 @@ class GPESpec:
     anti_trivial: bool = False              # C9 eigenvalue regularizers
     anti_trivial_c: float = 2.0
     anti_trivial_weight: float = 1.0
+    width_weight: float = 0.0               # C13 width penalty
     weighting: str = "fixed"                # "fixed" | "self_adaptive"
     use_perturbation: bool = True           # PL-PINN vs vanilla PINN
     hard_bc: bool = False                   # box: ψ = sin(πx)·N(x)
@@ -72,7 +73,8 @@ class GPESpec:
                         norm_style=self.norm_style,
                         symmetry=self.symmetry if self.sym_weight > 0.0 else None,
                         use_riesz=use_riesz, anti_trivial=self.anti_trivial,
-                        anti_trivial_c=self.anti_trivial_c)
+                        anti_trivial_c=self.anti_trivial_c,
+                        width_penalty=self.width_weight > 0.0)
 
     def loss_weights(self) -> dict:
         """name -> fixed weight for every active term (the reference's paper
@@ -88,6 +90,8 @@ class GPESpec:
         if self.anti_trivial:
             for k in ("reg_f", "reg_lambda", "reg_drive"):
                 w[k] = self.anti_trivial_weight
+        if self.width_weight > 0.0:
+            w["width"] = self.width_weight
         return w
 
 
@@ -220,8 +224,11 @@ def make_terms_fn(spec: GPESpec) -> Callable:
             if spec.use_perturbation:
                 u_reflect = batch["base_val_reflect"] + u_reflect
 
+        x2 = None
+        if cfg.width_penalty:
+            x2 = jnp.sum(batch["x"] * batch["x"], axis=-1)
         return gpe_terms(u, grad, lap, bv, batch["V"], batch["w"], gamma, cfg,
-                         axis_name=axis_name, u_reflect=u_reflect)
+                         axis_name=axis_name, u_reflect=u_reflect, x2=x2)
 
     return terms_fn
 

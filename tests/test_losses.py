@@ -120,3 +120,13 @@ def test_symmetry_term_even_mode():
     assert "sym" in aux
     # mode 0 base is even; with a tiny perturbation the sym loss is small
     assert float(aux["sym"]) < 1e-2
+
+
+def test_width_penalty_term():
+    spec = replace(SPEC, width_weight=0.5)
+    batch, params = _setup(spec)
+    total, aux = make_loss_fn(spec)(params, batch, 2.0, 0.01)
+    assert "width" in aux and float(aux["width"]) < 0.0   # reward, not cost
+    base = aux["pde"] + 10 * aux["boundary"] + 20 * aux["norm"]
+    np.testing.assert_allclose(float(total), float(base + 0.5 * aux["width"]),
+                               rtol=1e-6)
