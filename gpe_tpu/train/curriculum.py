@@ -71,7 +71,7 @@ def train_curriculum(spec: GPESpec, eta_values, mode: int = 0,
                   tol=tol, patience=patience, check_every=check_every,
                   scale_schedule=sched)
         params = res.params
-        mu_table.append((eta, res.mu))
+        mu_table.append((eta, res.mu_best))
         params_by_eta[eta] = jax.tree.map(np.asarray, res.params)
         hist[eta] = {"loss": res.loss_history, "mu": res.mu_history}
         eps[eta] = res.epochs_run

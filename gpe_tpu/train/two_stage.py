@@ -78,7 +78,7 @@ def train_two_stage(spec: GPESpec, beta_values, gamma_values, mode: int = 0,
         eps[key] = res.epochs_run
         if verbose:
             print(f"{key}: μ={res.mu:.6f} loss={res.best_loss:.3e} ep={res.epochs_run}")
-        return res.mu
+        return res.mu_best
 
     mu_beta = [(b, run_step(b, 0.0, ("beta", b))) for b in beta_values]
     beta_max = beta_values[-1] if beta_values else 1.0
