@@ -175,6 +175,15 @@ _register(ExperimentConfig(
     spec=replace(_PAPER_1D, nonlinearity="abs_power"),
     algorithm="p_ramp", gamma_values=(10.0,), modes=(0,), epochs=2001))
 
+_register(ExperimentConfig(
+    name="deflation_harmonic",                   # BASELINE config #5 (part 1)
+    spec=GPESpec(lb=-8.0, ub=8.0, n_points=2000, layers=(1, 64, 64, 1),
+                 potential="harmonic", kinetic=1.0, nonlinearity="abs_power",
+                 activation="tanh", bc_weight=10.0, norm_weight=20.0,
+                 objective="riesz"),
+    algorithm="deflation", gamma_values=(10.0,), modes=(0, 1, 2, 3),
+    epochs=6000, lr=1e-3))
+
 # --- loss-strategy experiments (reference C5/C9/C11/C12) ---------------------
 
 _register(ExperimentConfig(

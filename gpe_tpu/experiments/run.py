@@ -120,6 +120,14 @@ def main(argv=None):
                            pretrain_epochs=cfg.pretrain_epochs, verbose=True)
         print(json.dumps({"experiment": cfg.name, "mu_table": res.mu_table,
                           "wall_s": round(time.time() - t0, 1)}))
+    elif cfg.algorithm == "deflation":
+        from gpe_tpu.train.deflation import train_deflation
+        res = train_deflation(cfg.spec, cfg.gamma_values[0],
+                              n_modes=len(cfg.modes), epochs=cfg.epochs,
+                              lr=cfg.lr, seed=cfg.seed, orth_weight=500.0,
+                              polish_steps=60, verbose=True)
+        print(json.dumps({"experiment": cfg.name, "mu_table": res.mu_table,
+                          "wall_s": round(time.time() - t0, 1)}))
     elif cfg.algorithm == "relobralo":
         import jax
         from gpe_tpu.train.balanced import fit_relobralo

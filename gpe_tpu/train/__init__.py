@@ -9,3 +9,4 @@ from gpe_tpu.train.loop import fit_ensemble, EnsembleFitResult  # noqa: F401
 from gpe_tpu.train.beta_sweep import train_beta_sweep, BetaSweepResult  # noqa: F401
 from gpe_tpu.train.p_ramp import train_p_ramp, PRampResult  # noqa: F401
 from gpe_tpu.train.balanced import fit_relobralo, BalancedFitResult  # noqa: F401
+from gpe_tpu.train.deflation import train_deflation, DeflationResult, make_deflated_loss_fn  # noqa: F401
