@@ -1,0 +1,84 @@
+"""Rotating-frame vortex experiment — BASELINE.json config #5: 2D GPE with
+the ΩL_z term, complex ψ, vortex states via distillation + LM polish.
+
+Run: python -m gpe_tpu.experiments.gpe2d_vortex [--omegas 0.0 0.7 0.9]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=128)
+    ap.add_argument("--gamma", type=float, default=50.0)
+    ap.add_argument("--omegas", type=float, nargs="*", default=[0.0, 0.7, 0.9])
+    ap.add_argument("--width", type=int, default=128)
+    ap.add_argument("--fit-epochs", type=int, default=6000)
+    ap.add_argument("--out", default="runs/gpe2d_vortex")
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import numpy as np
+
+    from gpe_tpu.models import mlp
+    from gpe_tpu.rotating import RotatingSpec, train_rotating_vortex
+
+    os.makedirs(args.out, exist_ok=True)
+    results = []
+    t0 = time.time()
+    for omega in args.omegas:
+        spec = RotatingSpec(n_points=args.n,
+                            layers=(2, args.width, args.width, args.width, 2),
+                            gamma=args.gamma, omega=omega)
+        t1 = time.time()
+        res = train_rotating_vortex(spec, fit_epochs=args.fit_epochs,
+                                    lbfgs_steps=400, polish_steps=60,
+                                    verbose=True)
+        row = {"omega": omega, "mu_net": res.mu, "mu_grid": res.mu_grid,
+               "abs_err": abs(res.mu - res.mu_grid), "lz_net": res.lz,
+               "lz_grid": res.lz_grid, "n_vortices": res.n_vortices,
+               "pde_loss": res.pde_loss, "fit_mse": res.fit_mse,
+               "wall_s": round(time.time() - t1, 1)}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+        # density + phase plot of the net's wavefunction
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            batch_x = np.linspace(spec.lb, spec.ub, args.n)
+            from gpe_tpu.rotating import make_rotating_batch
+            batch = make_rotating_batch(spec)
+            v = np.asarray(mlp.mlp_apply(res.params, batch["x"],
+                                         spec.activation))
+            psi = (v[:, 0] + 1j * v[:, 1]).reshape(args.n, args.n)
+            fig, axes = plt.subplots(1, 2, figsize=(9, 4))
+            axes[0].imshow(np.abs(psi).T ** 2, origin="lower",
+                           extent=[spec.lb, spec.ub, spec.lb, spec.ub])
+            axes[0].set_title(f"|ψ|²  Ω={omega}")
+            axes[1].imshow(np.angle(psi).T, origin="lower", cmap="twilight",
+                           extent=[spec.lb, spec.ub, spec.lb, spec.ub])
+            axes[1].set_title("arg ψ")
+            fig.savefig(os.path.join(args.out, f"vortex_omega{omega:g}.png"),
+                        dpi=130, bbox_inches="tight")
+            plt.close(fig)
+        except Exception as e:
+            print(f"plotting failed: {e}")
+
+    summary = {"config": "BASELINE#5 rotating-frame vortex states",
+               "gamma": args.gamma, "results": results,
+               "total_wall_s": round(time.time() - t0, 1)}
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({"summary": "written", "wall_s": summary["total_wall_s"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
