@@ -33,11 +33,24 @@ from gpe_tpu.train.problem import GPESpec
 
 def make_gpe_residual_fn(spec: GPESpec) -> Callable:
     """residuals(params, batch, gamma, scale) -> 1-D residual vector whose
-    sum of squares equals the fit() total loss."""
+    sum of squares equals the fit() total loss.
+
+    Uses the SAME ansatz composition as make_terms_fn (hard-BC factor,
+    perturbation base arrays) — polishing a different ansatz than the one
+    that trained silently optimizes the wrong function."""
+    from gpe_tpu.models.ansatz import (box_sine_factor, hard_bc_ansatz,
+                                       plain_ansatz)
+
     act = spec.activation
+    raw_vgl = lambda p, x: mlp.mlp_vgl(p, x, act)
+    raw_val = lambda p, x: mlp.mlp_apply(p, x, act)
+    if spec.hard_bc:
+        a = hard_bc_ansatz(raw_vgl, raw_val, box_sine_factor(spec.lb, spec.ub))
+    else:
+        a = plain_ansatz(raw_vgl, raw_val)
 
     def residuals(params, batch, gamma, scale):
-        n = mlp.mlp_vgl(params, batch["x"], act)
+        n = a.vgl(params, batch["x"], 1.0)
         if spec.use_perturbation:
             u = batch["base_val"] + scale * n.value
             lap = batch["base_lap"] + scale * n.lap
@@ -50,7 +63,7 @@ def make_gpe_residual_fn(spec: GPESpec) -> Callable:
         mu = jnp.sum(u * hu) / (den + 1e-12)
         r_pde = (hu - mu * u) / jnp.sqrt(float(u.shape[0]))
 
-        bv = mlp.mlp_apply(params, batch["bx"], act) * scale
+        bv = a.value(params, batch["bx"], 1.0) * scale
         if spec.use_perturbation:
             bv = batch["base_bval"] + bv
         r_bc = jnp.sqrt(spec.bc_weight / float(bv.shape[0])) * bv
