@@ -108,6 +108,21 @@ def bench_jax():
     eval16 = jax.jit(lambda p, b, g, s: loss16(p, b, g, s)[0])
     dt_eval16 = _time(eval16, params16, batch16, gamma, scale)
 
+    # 4. fused Pallas kernel (whole forward-Laplacian MLP + Hamiltonian +
+    #    loss reductions VMEM-resident in one kernel)
+    pallas_pts_per_sec = float("nan")
+    try:
+        from gpe_tpu.pallas import make_pallas_loss_eval
+        pev = jax.jit(make_pallas_loss_eval(
+            spec.layers, spec.activation, spec.p, spec.kinetic,
+            spec.nonlinearity, bc_weight=spec.bc_weight,
+            norm_weight=spec.norm_weight, tile=512))
+        pfn = lambda p, b, g, s: pev(p, b, g, s)[0]
+        dt_pallas = _time(pfn, params, batch, gamma, scale)
+        pallas_pts_per_sec = n_pts / dt_pallas
+    except Exception as e:
+        print(f"pallas bench skipped: {e}", file=sys.stderr)
+
     total = float(eval_fn(params, batch, gamma, scale))
     mfu = _gemm_flops_per_eval(n_pts, 2) / dt_eval / PEAK_FLOPS
     return {
@@ -115,6 +130,7 @@ def bench_jax():
         "eval_pts_per_sec": n_pts / dt_eval,
         "train_step_pts_per_sec": n_pts / dt_train,
         "bf16_eval_pts_per_sec": n_pts / dt_eval16,
+        "pallas_eval_pts_per_sec": pallas_pts_per_sec,
         "eval_mfu": mfu,
     }
 
@@ -180,6 +196,9 @@ def main():
         "vs_baseline": round(vs, 2),
         "train_step_pts_per_sec": round(r["train_step_pts_per_sec"]),
         "bf16_eval_pts_per_sec": round(r["bf16_eval_pts_per_sec"]),
+        "pallas_eval_pts_per_sec": (round(r["pallas_eval_pts_per_sec"])
+                                    if r["pallas_eval_pts_per_sec"] == r["pallas_eval_pts_per_sec"]
+                                    else None),
         "eval_mfu": round(r["eval_mfu"], 4),
         "total_loss": r["total_loss"],
     }))

@@ -192,7 +192,7 @@ def train_rotating_vortex(spec: RotatingSpec, fit_epochs: int = 4000,
         lm = make_lm_solver(residuals, params, steps=polish_steps,
                             cg_iters=polish_cg_iters)
         # the `scale` slot of the LM solver carries Ω (traced scalar)
-        params = lm(params, batch, gamma, omega).params
+        polished = lm(params, batch, gamma, omega).params
 
     # normalized mesh-free report
     def _report(params):
@@ -214,5 +214,12 @@ def train_rotating_vortex(spec: RotatingSpec, fit_epochs: int = 4000,
         return float(mu), float(pde), float(lz)
 
     mu, pde, lz = _report(params)
+    if polish_steps > 0:
+        # accept the polish only if it kept the vortex structure: LM pulls to
+        # the NEAREST residual minimum, and from a loosely-fit multi-vortex
+        # state that can be a lower-circulation branch
+        mu_p, pde_p, lz_p = _report(polished)
+        if pde_p < pde and abs(lz_p - lz) < 0.2:
+            params, mu, pde, lz = polished, mu_p, pde_p, lz_p
     return RotatingResult(params, mu, float(mu_grid), lz, float(lz_grid),
                           nv, pde, float(fit_mse))
