@@ -116,7 +116,7 @@ def bench_jax():
         pev = jax.jit(make_pallas_loss_eval(
             spec.layers, spec.activation, spec.p, spec.kinetic,
             spec.nonlinearity, bc_weight=spec.bc_weight,
-            norm_weight=spec.norm_weight, tile=512))
+            norm_weight=spec.norm_weight, tile=1792))
         pfn = lambda p, b, g, s: pev(p, b, g, s)[0]
         dt_pallas = _time(pfn, params, batch, gamma, scale)
         pallas_pts_per_sec = n_pts / dt_pallas
