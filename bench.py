@@ -45,15 +45,20 @@ def _spec(dtype):
                    dtype={"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype])
 
 
-def _time(fn, *args):
+def _time(fn, *args, batches: int = 5):
+    """Best-of-batches timing: the tunnel-attached TPU sees transient
+    contention; the MINIMUM batch time measures the hardware capability."""
     for _ in range(WARMUP):
         out = fn(*args)
     _block(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
-    _block(out)
-    return (time.perf_counter() - t0) / ITERS
+    best = float("inf")
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(*args)
+        _block(out)
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    return best
 
 
 def _block(out):

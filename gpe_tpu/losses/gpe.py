@@ -110,11 +110,3 @@ def gpe_terms(u, grad, lap, bv, V, w, gamma, cfg: GPETerms,
         losses["reg_drive"] = jnp.exp(-mu + cfg.anti_trivial_c)
 
     return TermsOutput(losses, mu, u)
-
-
-def pretrain_loss(ansatz_value: Callable, params, x, target, scale=1.0):
-    """Supervised MSE to the analytical base (D2: pretrain_on_analytical_solution,
-    harmonic_pinn_simulation.py:650-701). ansatz_value is the raw-net value fn
-    (the reference pretrains NN output to φ, not the complete solution)."""
-    pred = ansatz_value(params, x, scale)
-    return jnp.mean((pred - target) ** 2)

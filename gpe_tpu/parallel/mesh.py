@@ -139,3 +139,41 @@ def make_parallel_step(loss_fn: Callable, optimizer, mesh: Mesh, batch: dict,
         return params, opt_state, total, aux
 
     return step
+
+
+def make_ensemble_step(loss_fn, optimizer, mesh: Mesh, axis: str = "ens"):
+    """Device-parallel ENSEMBLE training step: R independent runs (seeds or
+    modes) advance simultaneously with the run axis sharded across chips —
+    the second TPU-native parallelism mode named in SURVEY.md §2.G (the first
+    is collocation DP). Params/optimizer state carry a leading run axis and
+    shard along it; the batch is replicated; there is NO cross-run
+    communication, so scaling is embarrassingly linear over ICI.
+
+    Returns step(params_b, opt_state_b, batch, gamma, scales) with scales a
+    per-run (R,) vector (each seed keeps its own q/normal_const).
+    """
+    import optax
+
+    def _one(params, opt_state, batch, gamma, scale):
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, gamma, scale)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, total, aux["mu"]
+
+    vstep = jax.vmap(_one, in_axes=(0, 0, None, None, 0))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(), P(), P(axis)),
+             out_specs=(P(axis), P(axis), P(axis), P(axis)),
+             check_vma=False)
+    def sharded(params_b, opt_b, batch, gamma, scales):
+        return vstep(params_b, opt_b, batch, gamma, scales)
+
+    return jax.jit(sharded)
+
+
+def shard_ensemble(tree, mesh: Mesh, axis: str = "ens"):
+    """Place a pytree with a leading run axis so runs shard across the mesh."""
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)

@@ -70,3 +70,44 @@ def test_initialize_multihost_single_process_noop():
     from gpe_tpu.parallel import initialize_multihost
     # no coordinator configured on this machine -> graceful single-host no-op
     assert initialize_multihost() is False
+
+
+def test_ensemble_sharding_matches_vmap():
+    """Device-sharded ensemble step == plain vmap step (8 runs on 8 devices)."""
+    import jax.numpy as jnp
+    import optax
+    from gpe_tpu.models import mlp
+    from gpe_tpu.parallel import make_ensemble_step, make_mesh, shard_ensemble
+    from gpe_tpu.train import GPESpec, make_batch, make_loss_fn
+
+    spec = GPESpec(lb=-6.0, ub=6.0, n_points=256, layers=(1, 8, 8, 1),
+                   potential="harmonic", basis="hermite",
+                   nonlinearity="abs_power", use_perturbation=False)
+    batch = make_batch(spec, 0)
+    loss_fn = make_loss_fn(spec)
+    R = 8
+    params_list = [mlp.init_mlp(jax.random.PRNGKey(s), spec.layers)
+                   for s in range(R)]
+    params_b = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+    opt = optax.adam(1e-3)
+    opt_b = jax.vmap(opt.init)(params_b)
+    scales = jnp.linspace(0.5, 1.2, R)
+    gamma = jnp.float32(1.0)
+
+    # reference: plain vmap on one device
+    def one(p, s, sc):
+        (t, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(p, batch, gamma, sc)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, t, aux["mu"]
+    ref_p, _, ref_t, ref_mu = jax.vmap(one, in_axes=(0, 0, 0))(params_b, opt_b, scales)
+
+    mesh = make_mesh(8, axis="ens")
+    step = make_ensemble_step(loss_fn, opt, mesh)
+    sp = shard_ensemble(params_b, mesh)
+    so = shard_ensemble(opt_b, mesh)
+    got_p, _, got_t, got_mu = step(sp, so, batch, gamma,
+                                   shard_ensemble(scales, mesh))
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_t), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_mu), np.asarray(ref_mu), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(jax.tree.leaves(got_p)[0]),
+                               np.asarray(jax.tree.leaves(ref_p)[0]), rtol=1e-5)
