@@ -184,6 +184,23 @@ _register(ExperimentConfig(
     algorithm="deflation", gamma_values=(10.0,), modes=(0, 1, 2, 3),
     epochs=6000, lr=1e-3))
 
+# --- Helmholtz family (reference src/helmholtz_2D*.py, learnable-k notebook) --
+
+def _helmholtz_specs():
+    from gpe_tpu.helmholtz.problem import HelmholtzSpec
+    return {
+        "helmholtz_square": HelmholtzSpec(domain="square", k=2.0),
+        "helmholtz_circle": HelmholtzSpec(domain="circle", k=3.0, mode_n=1),
+        "helmholtz_inverse_k": HelmholtzSpec(domain="square", k=3.0,
+                                             learnable_k=True,
+                                             learnable_bc_scale=True),
+    }
+
+
+for _name in ("helmholtz_square", "helmholtz_circle", "helmholtz_inverse_k"):
+    _register(ExperimentConfig(name=_name, spec=None, algorithm="helmholtz",
+                               epochs=4000))
+
 # --- loss-strategy experiments (reference C5/C9/C11/C12) ---------------------
 
 _register(ExperimentConfig(

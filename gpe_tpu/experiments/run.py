@@ -120,6 +120,16 @@ def main(argv=None):
                            pretrain_epochs=cfg.pretrain_epochs, verbose=True)
         print(json.dumps({"experiment": cfg.name, "mu_table": res.mu_table,
                           "wall_s": round(time.time() - t0, 1)}))
+    elif cfg.algorithm == "helmholtz":
+        from gpe_tpu.experiments.configs import _helmholtz_specs
+        from gpe_tpu.helmholtz.problem import train_helmholtz
+        hspec = _helmholtz_specs()[cfg.name]
+        res = train_helmholtz(hspec, epochs=cfg.epochs, lr=cfg.lr,
+                              seed=cfg.seed, lbfgs_steps=100)
+        print(json.dumps({"experiment": cfg.name, "k": res.k,
+                          "test_mae": res.test_mae,
+                          "interior_mse": res.interior_mse,
+                          "wall_s": round(time.time() - t0, 1)}))
     elif cfg.algorithm == "deflation":
         from gpe_tpu.train.deflation import train_deflation
         res = train_deflation(cfg.spec, cfg.gamma_values[0],

@@ -71,3 +71,13 @@ def test_cli_list(capsys):
     for name in ("harmonic_paper", "vary_beta_harmonic", "gpe2d_relobralo",
                  "riesz_mode0", "p_ramp_harmonic"):
         assert name in out
+
+
+def test_cli_helmholtz_smoke(capsys):
+    from gpe_tpu.experiments.run import main
+    rc = main(["helmholtz_square", "--epochs", "200"])
+    assert rc == 0
+    out = json.loads([l for l in capsys.readouterr().out.splitlines()
+                      if l.startswith("{")][-1])
+    assert out["experiment"] == "helmholtz_square"
+    assert np.isfinite(out["test_mae"])
