@@ -36,3 +36,25 @@ def test_deflation_interacting_vs_newton_oracle():
     for n, (_, mu) in enumerate(res.mu_table):
         ref, _ = solve_gpe_excited_1d(x * x, x[1] - x[0], 10.0, n)
         assert abs(mu - ref) < 2e-3
+
+
+@pytest.mark.slow
+def test_deflation_2d_degenerate_doublet():
+    # 2D −½Δ+½r²: spectrum 1, 2, 2 — deflation must resolve the DEGENERATE
+    # first-excited doublet as two orthogonal states at the same μ
+    spec = GPESpec(dim=2, lb=-6.0, ub=6.0, n_points=40, layers=(2, 32, 32, 1),
+                   potential="harmonic", potential_kwargs=(("a", 0.5),),
+                   kinetic=0.5, nonlinearity="abs_power", activation="tanh",
+                   bc_weight=10.0, norm_weight=20.0, objective="riesz")
+    res = train_deflation(spec, 0.0, n_modes=3, epochs=4000, lr=1e-3,
+                          orth_weight=500.0, polish_steps=40)
+    mus = [m for _, m in res.mu_table]
+    assert abs(mus[0] - 1.0) < 2e-2
+    assert abs(mus[1] - 2.0) < 5e-2
+    assert abs(mus[2] - 2.0) < 5e-2
+    # the doublet states stay approximately orthogonal (the LM polish has no
+    # orthogonality constraint, and any rotation within a DEGENERATE subspace
+    # is also a residual minimum, so modest mixing is expected)
+    S = res.states
+    w = (12.0 / 39) ** 2
+    assert abs(float((S[1] * S[2]).sum()) * w) < 0.2
