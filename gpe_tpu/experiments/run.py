@@ -161,11 +161,18 @@ def main(argv=None):
         loss_fn = make_loss_fn(cfg.spec)
         params = init_params(cfg.spec, jax.random.PRNGKey(cfg.seed))
         opt = make_optimizer("adam", cfg.lr, clip_norm=1.0)
+        from gpe_tpu.train.deflation import _normalized_mu
         for g in cfg.gamma_values:
             res = fit(loss_fn, opt, params, batch, g, 1.0, epochs=cfg.epochs,
                       tol=cfg.tol, patience=cfg.patience)
             params = res.final_params
-            print(json.dumps({"gamma": g, "mu": res.mu, "loss": res.best_loss,
+            # report μ of the NORMALIZED best state (the nonlinear-term
+            # strength depends on ∫u²=1; the raw Rayleigh quotient drifts
+            # with the residual normalization error)
+            from gpe_tpu.train.problem import net_params
+            mu = float(_normalized_mu(cfg.spec, net_params(res.params), batch, g)) \
+                if not cfg.spec.use_perturbation else res.mu_best
+            print(json.dumps({"gamma": g, "mu": mu, "loss": res.best_loss,
                               "epochs": res.epochs_run}))
     elif cfg.algorithm == "compare":
         if cfg.n_runs > 1:
