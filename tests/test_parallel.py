@@ -111,3 +111,35 @@ def test_ensemble_sharding_matches_vmap():
     np.testing.assert_allclose(np.asarray(got_mu), np.asarray(ref_mu), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(jax.tree.leaves(got_p)[0]),
                                np.asarray(jax.tree.leaves(ref_p)[0]), rtol=1e-5)
+
+
+def test_full_fit_loop_under_collocation_sharding():
+    """The ENTIRE production trainer (chunked scan, early stop, best-restore)
+    runs with the loss under shard_map — fit() composes with
+    make_parallel_loss unchanged, and matches the single-device run."""
+    import jax.numpy as jnp
+    from gpe_tpu.models import mlp
+    from gpe_tpu.parallel import make_mesh, make_parallel_loss, shard_batch
+    from gpe_tpu.train import GPESpec, fit, make_batch, make_loss_fn, make_optimizer
+
+    spec = GPESpec(lb=-6.0, ub=6.0, n_points=512, layers=(1, 12, 12, 1),
+                   potential="harmonic", basis="hermite",
+                   nonlinearity="abs_power", use_perturbation=False)
+    batch = make_batch(spec, 0)
+    loss_fn = make_loss_fn(spec)
+    params = mlp.init_mlp(jax.random.PRNGKey(0), spec.layers)
+    opt = make_optimizer("adam", 1e-3, clip_norm=1.0)
+    kw = dict(epochs=120, tol=-1.0, patience=10**9, check_every=60)
+
+    ref = fit(loss_fn, opt, params, batch, 1.0, 1.0, **kw)
+
+    mesh = make_mesh(8)
+    sbatch = shard_batch(batch, mesh)
+    sharded_loss = make_parallel_loss(loss_fn, mesh, batch)
+    got = fit(sharded_loss, opt, params, sbatch, 1.0, 1.0, **kw)
+
+    np.testing.assert_allclose(got.mu_best, ref.mu_best, rtol=1e-4)
+    np.testing.assert_allclose(got.best_loss, ref.best_loss, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(jax.tree.leaves(got.params)[0]),
+                               np.asarray(jax.tree.leaves(ref.params)[0]),
+                               rtol=2e-4, atol=1e-6)
