@@ -181,8 +181,14 @@ def main(argv=None):
                                             epochs=cfg.epochs, tol=cfg.tol,
                                             patience=cfg.patience)
                      for g in cfg.gamma_values for m in ("pl_pinn", "vanilla")}
+            summary = {k: {"mu_median": v["mu_median"], "mu_std": v["mu_std"],
+                           "mu_runs": [float(x) for x in v["mu_runs"]],
+                           "epochs_run": [int(x) for x in v["epochs_run"]]}
+                       for k, v in stats.items()}
+            with open(os.path.join(out_dir, "multirun_stats.json"), "w") as f:
+                json.dump(summary, f, indent=2)
             print(json.dumps({k: {"mu_median": v["mu_median"], "mu_std": v["mu_std"]}
-                              for k, v in stats.items()}, default=str))
+                              for k, v in summary.items()}, default=str))
         else:
             for g in cfg.gamma_values:
                 out = compare_methods(cfg.spec, g, epochs=cfg.epochs, tol=cfg.tol,
