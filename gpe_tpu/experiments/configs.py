@@ -101,6 +101,11 @@ _register(ExperimentConfig(
     spec=_PAPER_1D, algorithm="compare", gamma_values=(100.0,), modes=(0,)))
 
 _register(ExperimentConfig(
+    name="multirun_harmonic_mode0",              # D10 protocol, 5 seeds, γ=20
+    spec=_PAPER_1D, algorithm="compare", gamma_values=(20.0,), modes=(0,),
+    n_runs=5))
+
+_register(ExperimentConfig(
     name="multirun_box_mode0",                   # ..._multiple_runs.py (5 seeds)
     spec=replace(_PAPER_1D, lb=0.0, ub=1.0, potential="box", basis="box",
                  hard_bc=True),
