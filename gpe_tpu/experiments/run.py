@@ -13,6 +13,43 @@ import os
 import time
 
 
+def _plot_wavefunctions_from_bundle(cfg, bundle, out_dir, viz):
+    """F1: per-(mode, γ) complete-solution wavefunction grid, reconstructed
+    from the bundle's per-γ best params (1D only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gpe_tpu.models import mlp
+    from gpe_tpu.models.ansatz import box_sine_factor
+    from gpe_tpu.train.problem import make_batch
+
+    spec = cfg.spec
+    if spec.dim != 1 or not bundle["params_by_mode"]:
+        return
+    const = bundle["constant_history"]
+    u_by = {}
+    b = None
+    for mode, by_g in bundle["params_by_mode"].items():
+        if not by_g:
+            continue
+        b = make_batch(spec, mode)
+        scale = (cfg.perturb_const / const[mode]
+                 if spec.use_perturbation else 1.0)
+        gs = sorted(by_g)
+        sel = gs[::max(1, len(gs) // 6)]
+        u_by[mode] = {}
+        for g in sel:
+            p = jax.tree.map(jnp.asarray, by_g[g])
+            v = mlp.mlp_apply(p, b["x"], spec.activation) * scale
+            if spec.hard_bc:
+                v = v * box_sine_factor(spec.lb, spec.ub)(b["x"]).value
+            if spec.use_perturbation:
+                v = b["base_val"] + v
+            u_by[mode][g] = np.asarray(v)
+    if u_by and b is not None:
+        viz.plot_wavefunctions(np.asarray(b["x"][:, 0]), u_by, out_dir)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="gpe_tpu experiment runner")
     ap.add_argument("name", help="experiment name (see --list)")
@@ -79,6 +116,10 @@ def main(argv=None):
         viz.plot_mu_vs_gamma(bundle["mu_table"], out_dir)
         viz.plot_loss_history(bundle["training_history"], out_dir)
         viz.plot_epochs_heatmap(bundle["epochs_history"], out_dir)
+        try:
+            _plot_wavefunctions_from_bundle(cfg, bundle, out_dir, viz)
+        except Exception as e:       # plotting must never fail a run
+            print(f"wavefunction plot skipped: {e}")
         print(json.dumps({"experiment": cfg.name,
                           "mu_table_tail": {str(m): v[-1] for m, v in bundle["mu_table"].items()},
                           "wall_s": round(time.time() - t0, 1)}))
