@@ -46,19 +46,22 @@ def _spec(dtype):
 
 
 def _time(fn, *args, batches: int = 5):
-    """Best-of-batches timing: the tunnel-attached TPU sees transient
-    contention; the MINIMUM batch time measures the hardware capability."""
+    """Median-of-batches timing: robust to the tunnel TPU's transient
+    contention without the optimistic bias of a min (a min can catch an
+    interval where queued warmup work overlaps the timed batch and report
+    MFU > 1)."""
     for _ in range(WARMUP):
         out = fn(*args)
     _block(out)
-    best = float("inf")
+    times = []
     for _ in range(batches):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             out = fn(*args)
         _block(out)
-        best = min(best, (time.perf_counter() - t0) / ITERS)
-    return best
+        times.append((time.perf_counter() - t0) / ITERS)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def _block(out):
