@@ -108,12 +108,26 @@ def _lap_1d_sparse4(n: int, dx: float):
     """Sparse 4th-order 1D Laplacian (−1/12, 4/3, −5/2, 4/3, −1/12)/dx² with
     Dirichlet BCs — O(dx⁴) discretization so oracle μ errors sit well below
     the PL-PINN errors being measured (reference tables are at the 1e-5
-    level, paper_style_results.csv)."""
+    level, paper_style_results.csv).
+
+    Boundary rows use the 3-point stencil: the truncated 5-point stencil at a
+    Dirichlet wall implicitly assumes ψ(−dx)=0, which is wrong whenever
+    ψ′(wall) ≠ 0 (gravity well at x=0, box walls) and degrades the EIGENVALUE
+    to first order in dx (measured: Airy-zero error halving with n). The
+    3-point row's local error sits where ψ ~ dx, keeping the global
+    eigenvalue at high order (measured: ~1e-7 at n=2000)."""
     from scipy import sparse
     main = np.full(n, -2.5)
     off1 = np.full(n - 1, 4.0 / 3.0)
     off2 = np.full(n - 2, -1.0 / 12.0)
-    L = sparse.diags([off2, off1, main, off1, off2], [-2, -1, 0, 1, 2])
+    L = sparse.diags([off2, off1, main, off1, off2], [-2, -1, 0, 1, 2]).tolil()
+    for i in (0, n - 1):
+        L[i, :] = 0.0
+        L[i, i] = -2.0
+        if i > 0:
+            L[i, i - 1] = 1.0
+        if i < n - 1:
+            L[i, i + 1] = 1.0
     return (L / (dx * dx)).tocsc()
 
 
@@ -138,9 +152,21 @@ def solve_gpe_excited_1d(V: np.ndarray, dx: float, gamma: float, mode: int = 0,
     from scipy.sparse import bmat, csc_matrix, diags
     from scipy.sparse.linalg import eigsh, splu
 
+    # Solve on INTERIOR points only: wall values are CONSTRAINED to zero, not
+    # free unknowns — keeping them in the operator effectively frees the
+    # endpoints and degrades eigenvalues to O(dx) wherever ψ′(wall) ≠ 0
+    # (gravity well at x=0, box walls; measured via the Airy zeros, which the
+    # interior formulation reproduces to ~1e-7 at n=2000).
+    n_full = V.shape[0]
+    V = V[1:-1]
     n = V.shape[0]
     L = _lap_1d_sparse4(n, dx)
     A = -kinetic * L + diags(V)          # linear part, constant along the ramp
+
+    def _embed(u):
+        full = np.zeros(n_full)
+        full[1:-1] = u
+        return full / np.sqrt(np.sum(full * full) * dx)
 
     # linear warm start (shift-invert: smallest eigenvalues, fast)
     sigma = float(np.min(V)) - 1.0
@@ -151,7 +177,7 @@ def solve_gpe_excited_1d(V: np.ndarray, dx: float, gamma: float, mode: int = 0,
         psi = -psi
     mu = float(mus[order[mode]])
     if gamma == 0.0:
-        return mu, psi
+        return mu, _embed(psi)
 
     def nonlin(u, g):
         if nonlinearity == "power":
@@ -175,5 +201,4 @@ def solve_gpe_excited_1d(V: np.ndarray, dx: float, gamma: float, mode: int = 0,
             delta = splu(B).solve(np.concatenate([-r, [-c]]))
             psi = psi + delta[:n]
             mu = mu + delta[n]
-    psi = psi / np.sqrt(np.sum(psi * psi) * dx)
-    return float(mu), psi
+    return float(mu), _embed(psi)

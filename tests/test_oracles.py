@@ -46,3 +46,18 @@ def test_richardson_order2_tighter_than_order1(grid):
     mu2, _ = imaginary_time_gpe(x * x, dx, 100.0, tau=2e-3, richardson=2)
     assert abs(mu2 - mu_ref) < abs(mu1 - mu_ref)
     assert abs(mu2 - mu_ref) < 1e-5
+
+
+def test_newton_oracle_nonzero_wall_slope_boundaries():
+    # Dirichlet problems whose eigenfunction has nonzero slope at a wall:
+    # the interior-point formulation must reproduce the exact eigenvalues
+    # (the wall-inclusive operator was first-order wrong here)
+    from scipy.special import ai_zeros
+    x = np.linspace(0.0, 35.0, 2000)
+    exact = -ai_zeros(2)[0]
+    for m in range(2):
+        mu, _ = solve_gpe_excited_1d(x, x[1] - x[0], 0.0, m)
+        assert abs(mu - exact[m]) < 1e-5
+    xb = np.linspace(0.0, 1.0, 1000)
+    mu, _ = solve_gpe_excited_1d(np.zeros(1000), xb[1] - xb[0], 0.0, 0)
+    assert abs(mu - np.pi**2) < 1e-6
