@@ -50,6 +50,15 @@ def _plot_wavefunctions_from_bundle(cfg, bundle, out_dir, viz):
         viz.plot_wavefunctions(np.asarray(b["x"][:, 0]), u_by, out_dir)
 
 
+def _emit(out_dir, records):
+    """Persist the run's printed JSON record(s) as <out_dir>/summary.json so
+    every algorithm branch leaves a committable artifact (the reference keeps
+    equivalent evidence as committed CSVs, SURVEY.md §2.E4)."""
+    path = os.path.join(out_dir, "summary.json")
+    with open(path, "w") as f:
+        json.dump(records if len(records) != 1 else records[0], f, indent=2)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="gpe_tpu experiment runner")
     ap.add_argument("name", help="experiment name (see --list)")
@@ -102,6 +111,12 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     bundle_path = os.path.join(out_dir, "bundle.pkl")
 
+    records = []
+
+    def emit(obj):
+        print(json.dumps(obj, default=str))
+        records.append(obj)
+
     t0 = time.time()
     if cfg.algorithm == "plpinn":
         if (args.train or not os.path.exists(bundle_path)) and not args.plots:
@@ -120,17 +135,17 @@ def main(argv=None):
             _plot_wavefunctions_from_bundle(cfg, bundle, out_dir, viz)
         except Exception as e:       # plotting must never fail a run
             print(f"wavefunction plot skipped: {e}")
-        print(json.dumps({"experiment": cfg.name,
-                          "mu_table_tail": {str(m): v[-1] for m, v in bundle["mu_table"].items()},
-                          "wall_s": round(time.time() - t0, 1)}))
+        emit({"experiment": cfg.name,
+              "mu_table_tail": {str(m): v[-1] for m, v in bundle["mu_table"].items()},
+              "wall_s": round(time.time() - t0, 1)})
     elif cfg.algorithm == "two_stage":
         res = train_two_stage(cfg.spec, cfg.beta_values, cfg.gamma_values,
                               epochs=cfg.epochs, tol=cfg.tol, patience=cfg.patience,
                               perturb_const=cfg.perturb_const, lr=cfg.lr,
                               seed=cfg.seed, verbose=True)
-        print(json.dumps({"experiment": cfg.name, "mu_beta": res.mu_beta,
-                          "mu_gamma": res.mu_gamma,
-                          "wall_s": round(time.time() - t0, 1)}))
+        emit({"experiment": cfg.name, "mu_beta": res.mu_beta,
+              "mu_gamma": res.mu_gamma,
+              "wall_s": round(time.time() - t0, 1)})
     elif cfg.algorithm == "beta_sweep":
         from gpe_tpu.train.beta_sweep import train_beta_sweep
         if args.train or not os.path.exists(bundle_path):
@@ -150,35 +165,35 @@ def main(argv=None):
         viz.plot_epochs_heatmap(bundle["epochs_history"], out_dir,
                                 "epochs_vs_beta_heatmap.png", xlabel="β")
         viz.plot_loss_history(bundle["training_history"], out_dir)
-        print(json.dumps({"experiment": cfg.name,
-                          "mu_table_tail": {str(m): v[-1] for m, v in bundle["mu_table"].items()},
-                          "wall_s": round(time.time() - t0, 1)}))
+        emit({"experiment": cfg.name,
+              "mu_table_tail": {str(m): v[-1] for m, v in bundle["mu_table"].items()},
+              "wall_s": round(time.time() - t0, 1)})
     elif cfg.algorithm == "p_ramp":
         from gpe_tpu.train.p_ramp import train_p_ramp
         res = train_p_ramp(cfg.spec, cfg.p_values, cfg.gamma_values[0],
                            mode=cfg.modes[0], epochs=cfg.epochs, tol=cfg.tol,
                            patience=cfg.patience, lr=cfg.lr, seed=cfg.seed,
                            pretrain_epochs=cfg.pretrain_epochs, verbose=True)
-        print(json.dumps({"experiment": cfg.name, "mu_table": res.mu_table,
-                          "wall_s": round(time.time() - t0, 1)}))
+        emit({"experiment": cfg.name, "mu_table": res.mu_table,
+              "wall_s": round(time.time() - t0, 1)})
     elif cfg.algorithm == "helmholtz":
         from gpe_tpu.experiments.configs import _helmholtz_specs
         from gpe_tpu.helmholtz.problem import train_helmholtz
         hspec = _helmholtz_specs()[cfg.name]
         res = train_helmholtz(hspec, epochs=cfg.epochs, lr=cfg.lr,
                               seed=cfg.seed, lbfgs_steps=100)
-        print(json.dumps({"experiment": cfg.name, "k": res.k,
-                          "test_mae": res.test_mae,
-                          "interior_mse": res.interior_mse,
-                          "wall_s": round(time.time() - t0, 1)}))
+        emit({"experiment": cfg.name, "k": res.k,
+              "test_mae": res.test_mae,
+              "interior_mse": res.interior_mse,
+              "wall_s": round(time.time() - t0, 1)})
     elif cfg.algorithm == "deflation":
         from gpe_tpu.train.deflation import train_deflation
         res = train_deflation(cfg.spec, cfg.gamma_values[0],
                               n_modes=len(cfg.modes), epochs=cfg.epochs,
                               lr=cfg.lr, seed=cfg.seed, orth_weight=500.0,
                               polish_steps=60, verbose=True)
-        print(json.dumps({"experiment": cfg.name, "mu_table": res.mu_table,
-                          "wall_s": round(time.time() - t0, 1)}))
+        emit({"experiment": cfg.name, "mu_table": res.mu_table,
+              "wall_s": round(time.time() - t0, 1)})
     elif cfg.algorithm == "relobralo":
         import jax
         from gpe_tpu.train.balanced import fit_relobralo
@@ -189,9 +204,9 @@ def main(argv=None):
             res = fit_relobralo(cfg.spec, params, batch, g, epochs=cfg.epochs,
                                 lr=cfg.lr, seed=cfg.seed)
             params = res.params
-            print(json.dumps({"gamma": g, "mu": res.mu, "loss": res.best_loss,
-                              "lambdas": dict(zip(res.term_names,
-                                                  res.lambda_history[-1].tolist()))}))
+            emit({"gamma": g, "mu": res.mu, "loss": res.best_loss,
+                  "lambdas": dict(zip(res.term_names,
+                                      res.lambda_history[-1].tolist()))})
     elif cfg.algorithm == "fit":
         # single-model training per γ (warm-started), honoring spec.weighting /
         # objective — the path for self-adaptive, anti-trivial, and Riesz runs
@@ -213,8 +228,8 @@ def main(argv=None):
             from gpe_tpu.train.problem import net_params
             mu = float(_normalized_mu(cfg.spec, net_params(res.params), batch, g)) \
                 if not cfg.spec.use_perturbation else res.mu_best
-            print(json.dumps({"gamma": g, "mu": mu, "loss": res.best_loss,
-                              "epochs": res.epochs_run}))
+            emit({"gamma": g, "mu": mu, "loss": res.best_loss,
+                  "epochs": res.epochs_run})
     elif cfg.algorithm == "compare":
         if cfg.n_runs > 1:
             # reference success thresholds: PL 1e-11, vanilla 1e-5
@@ -232,16 +247,18 @@ def main(argv=None):
                        for k, v in stats.items()}
             with open(os.path.join(out_dir, "multirun_stats.json"), "w") as f:
                 json.dump(summary, f, indent=2)
-            print(json.dumps({k: {"mu_median": v["mu_median"], "mu_std": v["mu_std"]}
-                              for k, v in summary.items()}, default=str))
+            emit({k: {"mu_median": v["mu_median"], "mu_std": v["mu_std"]}
+                  for k, v in summary.items()})
         else:
             for g in cfg.gamma_values:
                 out = compare_methods(cfg.spec, g, epochs=cfg.epochs, tol=cfg.tol,
                                       patience=cfg.patience)
-                print(json.dumps({"gamma": g, **{m: {"mu": d["mu"], "loss": d["best_loss"]}
-                                                 for m, d in out.items()}}))
+                emit({"gamma": g, **{m: {"mu": d["mu"], "loss": d["best_loss"]}
+                                     for m, d in out.items()}})
     else:
         raise SystemExit(f"unknown algorithm {cfg.algorithm}")
+    if records:
+        _emit(out_dir, records)
     return 0
 
 

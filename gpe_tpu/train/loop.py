@@ -53,11 +53,20 @@ class FitResult(NamedTuple):
 def _run_chunk(loss_fn, optimizer, carry: FitCarry, batch, gamma, scale,
                check_every: int, tol: float, patience: int,
                scale_schedule=None, epochs: int = None):
+    # Second-order / line-search optimizers (sophia, adahessian, lbfgs) need
+    # the objective closure and a PRNG key as optax extra args; plain
+    # first-order transforms ignore them (and XLA DCEs the unused closure).
+    opt_x = optax.with_extra_args_support(optimizer)
+
     def step(c: FitCarry, _):
         s = scale if scale_schedule is None else scale_schedule(c.epoch)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             c.params, batch, gamma, s)
-        updates, new_opt = optimizer.update(grads, c.opt_state, c.params)
+        obj_fn = lambda p: loss_fn(p, batch, gamma, s)[0]
+        key = jax.random.fold_in(jax.random.PRNGKey(0), c.epoch)
+        updates, new_opt = opt_x.update(
+            grads, c.opt_state, c.params, obj_fn=obj_fn, key=key,
+            value=loss, grad=grads, value_fn=obj_fn)
         new_params = optax.apply_updates(c.params, updates)
 
         # freeze once done (early-stopped) OR past the epoch budget — chunks

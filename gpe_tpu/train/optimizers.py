@@ -8,9 +8,99 @@ trainer) composes via `clip_norm`.
 """
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, NamedTuple
 
+import jax
+import jax.numpy as jnp
 import optax
+
+
+class _QHAdamState(NamedTuple):
+    count: jnp.ndarray
+    m: any
+    v: any
+
+
+def qhadam(learning_rate: float | Callable = 1e-3, b1: float = 0.995,
+           b2: float = 0.999, nu1: float = 0.7, nu2: float = 1.0,
+           eps: float = 1e-8) -> optax.GradientTransformation:
+    """Quasi-hyperbolic Adam (Ma & Yarats 2019) — the reference's QHAdam entry.
+
+    update = [(1−ν₁)g + ν₁·m̂] / (√[(1−ν₂)g² + ν₂·v̂] + ε); ν₁=ν₂=1 recovers
+    Adam, ν small interpolates toward plain (R)MSprop/SGD.
+    """
+    def init(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+        return _QHAdamState(jnp.zeros((), jnp.int32), zeros(), zeros())
+
+    def update(grads, state, params=None):
+        count = state.count + 1
+        m = jax.tree.map(lambda mm, g: b1 * mm + (1 - b1) * g, state.m, grads)
+        v = jax.tree.map(lambda vv, g: b2 * vv + (1 - b2) * g * g, state.v, grads)
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+
+        def direction(g, mm, vv):
+            m_hat, v_hat = mm / c1, vv / c2
+            num = (1 - nu1) * g + nu1 * m_hat
+            den = jnp.sqrt((1 - nu2) * g * g + nu2 * v_hat) + eps
+            return -lr * num / den
+
+        return (jax.tree.map(direction, grads, m, v),
+                _QHAdamState(count, m, v))
+
+    return optax.GradientTransformation(init, update)
+
+
+class _AdaHessianState(NamedTuple):
+    count: jnp.ndarray
+    m: any
+    v: any
+
+
+def adahessian(learning_rate: float | Callable = 0.1, b1: float = 0.9,
+               b2: float = 0.999, eps: float = 1e-8,
+               hessian_power: float = 1.0) -> optax.GradientTransformationExtraArgs:
+    """AdaHessian (Yao et al. 2021) — Adam with the second moment tracking a
+    Hutchinson estimate of the Hessian diagonal instead of g².
+
+    TPU-native estimator: one forward-over-reverse Hessian-vector product per
+    step, D ≈ z ⊙ (H z) with Rademacher z (exact for diagonal Hessians since
+    z²=1) — no nested reverse sweeps. Requires `obj_fn` and `key` optax extra
+    args (the training loop provides them; see train/loop.py).
+    """
+    def init(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+        return _AdaHessianState(jnp.zeros((), jnp.int32), zeros(), zeros())
+
+    def update(grads, state, params=None, *, obj_fn=None, key=None, **extra):
+        del extra
+        if obj_fn is None or key is None:
+            raise ValueError("adahessian requires obj_fn= and key= extra args "
+                             "(use gpe_tpu.train.fit, which passes them)")
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(key, len(leaves))
+        z = treedef.unflatten([
+            jax.random.rademacher(k, l.shape, l.dtype)
+            for k, l in zip(keys, leaves)])
+        hz = jax.jvp(jax.grad(obj_fn), (params,), (z,))[1]
+        diag = jax.tree.map(lambda a, b: a * b, z, hz)
+
+        count = state.count + 1
+        m = jax.tree.map(lambda mm, g: b1 * mm + (1 - b1) * g, state.m, grads)
+        v = jax.tree.map(lambda vv, d: b2 * vv + (1 - b2) * d * d, state.v, diag)
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        k_pow = hessian_power / 2.0
+
+        def direction(mm, vv):
+            return -lr * (mm / c1) / (jnp.power(vv / c2, k_pow) + eps)
+
+        return (jax.tree.map(direction, m, v), _AdaHessianState(count, m, v))
+
+    return optax.GradientTransformationExtraArgs(init, update)
 
 
 def make_optimizer(name: str, learning_rate: float | Callable = 1e-3,
@@ -27,9 +117,9 @@ def make_optimizer(name: str, learning_rate: float | Callable = 1e-3,
         kwargs.setdefault("b2", 0.99)
         opt = optax.adamw(learning_rate, **kwargs)
     elif name == "qhadam":
-        # quasi-hyperbolic momentum ≈ adam with decoupled ν mixing; nadam is
-        # the closest built-in (ν₁<1 interpolation toward plain SGD).
-        opt = optax.nadam(learning_rate, **kwargs)
+        opt = qhadam(learning_rate, **kwargs)
+    elif name == "adahessian":
+        opt = adahessian(learning_rate, **kwargs)
     elif name == "adabelief":
         opt = optax.adabelief(learning_rate, **kwargs)
     elif name == "sophia":

@@ -1,0 +1,101 @@
+"""Optimizer-zoo depth tests: true QHAdam, AdaHessian (Hutchinson hvp), and
+the extra-args plumbing that lets second-order optimizers (sophia, lbfgs,
+adahessian) run inside the compiled fit() loop.
+
+Reference zoo: src/gross_pitaevskii_1D_Different_Optimizers.py:9-12,540-558.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gpe_tpu.models import mlp
+from gpe_tpu.train import GPESpec, fit, make_batch, make_loss_fn, make_optimizer
+from gpe_tpu.train.optimizers import adahessian, qhadam
+
+
+def _quadratic(diag):
+    d = jnp.asarray(diag)
+    return lambda p: 0.5 * jnp.sum(d * p["w"] ** 2)
+
+
+def test_qhadam_converges_on_quadratic():
+    loss = _quadratic([1.0, 10.0, 100.0])
+    params = {"w": jnp.asarray([1.0, 1.0, 1.0])}
+    opt = qhadam(5e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        g = jax.grad(loss)(p)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    for _ in range(400):
+        params, state = step(params, state)
+    assert float(loss(params)) < 1e-5
+
+
+def test_qhadam_nu1_recovers_adam_direction():
+    # ν₁=ν₂=1 reduces QHAdam's update to Adam's m̂/(√v̂+ε)
+    g = {"w": jnp.asarray([0.3, -0.7])}
+    p = {"w": jnp.zeros(2)}
+    qh = qhadam(1e-3, b1=0.9, b2=0.999, nu1=1.0, nu2=1.0)
+    ad = optax.adam(1e-3, b1=0.9, b2=0.999)
+    us, ss = qh.init(p), ad.init(p)
+    u1, _ = qh.update(g, us, p)
+    u2, _ = ad.update(g, ss, p)
+    np.testing.assert_allclose(np.asarray(u1["w"]), np.asarray(u2["w"]),
+                               rtol=1e-4, atol=1e-8)
+
+
+def test_adahessian_hutchinson_exact_for_diagonal_hessian():
+    # For a diagonal Hessian, z ⊙ (Hz) = diag · z² = diag exactly (z²=1),
+    # so after one step v = (1-b2)·diag² regardless of the random key.
+    diag = jnp.asarray([2.0, 5.0, 0.5])
+    loss = _quadratic(diag)
+    params = {"w": jnp.asarray([1.0, -1.0, 2.0])}
+    opt = adahessian(1e-1, b2=0.9)
+    state = opt.init(params)
+    g = jax.grad(loss)(params)
+    _, new_state = opt.update(g, state, params, obj_fn=loss,
+                              key=jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(new_state.v["w"]),
+                               np.asarray(0.1 * diag ** 2), rtol=1e-5)
+
+
+def test_adahessian_converges_on_ill_conditioned_quadratic():
+    loss = _quadratic([1.0, 1e3])
+    params = {"w": jnp.asarray([1.0, 1.0])}
+    opt = adahessian(0.3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, k):
+        g = jax.grad(loss)(p)
+        u, s = opt.update(g, s, p, obj_fn=loss, key=k)
+        return optax.apply_updates(p, u), s
+
+    key = jax.random.PRNGKey(0)
+    for i in range(300):
+        params, state = step(params, state, jax.random.fold_in(key, i))
+    assert float(loss(params)) < 1e-4
+
+
+@pytest.mark.parametrize("name", ["sophia", "adahessian", "qhadam"])
+def test_second_order_optimizers_run_inside_fit(name):
+    """Regression: fit() must supply obj_fn/key extra args — sophia previously
+    crashed ('obj_fn must be provided to hutchinson update function')."""
+    spec = GPESpec(n_points=256, layers=(1, 16, 16, 1))
+    batch = make_batch(spec, 0)
+    loss_fn = make_loss_fn(spec)
+    params = mlp.init_mlp(jax.random.PRNGKey(0), spec.layers)
+    lr = {"sophia": 1e-3, "adahessian": 1e-3, "qhadam": 1e-3}[name]
+    opt = make_optimizer(name, lr, clip_norm=1.0)
+    first = float(loss_fn(params, batch, jnp.float32(0.0), jnp.float32(1.0))[0])
+    res = fit(loss_fn, opt, params, batch, 0.0, 1.0, epochs=200, tol=0.0,
+              patience=10_000, check_every=100)
+    assert np.isfinite(res.best_loss)
+    assert res.best_loss < first
