@@ -56,7 +56,8 @@ def _emit(out_dir, records):
     equivalent evidence as committed CSVs, SURVEY.md §2.E4)."""
     path = os.path.join(out_dir, "summary.json")
     with open(path, "w") as f:
-        json.dump(records if len(records) != 1 else records[0], f, indent=2)
+        json.dump(records if len(records) != 1 else records[0], f, indent=2,
+                  default=str)
 
 
 def main(argv=None):
@@ -194,6 +195,24 @@ def main(argv=None):
                               polish_steps=60, verbose=True)
         emit({"experiment": cfg.name, "mu_table": res.mu_table,
               "wall_s": round(time.time() - t0, 1)})
+    elif cfg.algorithm == "optimizer_sweep":
+        # reference D3+D4: the curriculum η-ramp trained once per optimizer in
+        # the zoo (src/gross_pitaevskii_1D_Different_Optimizers.py:982-998)
+        from gpe_tpu.train.curriculum import train_curriculum
+        sweep = {}
+        for opt_name in cfg.optimizers:
+            res = train_curriculum(cfg.spec, cfg.gamma_values,
+                                   mode=cfg.modes[0], epochs=cfg.epochs,
+                                   lr=cfg.lr, seed=cfg.seed,
+                                   optimizer=opt_name, verbose=True)
+            sweep[opt_name] = res
+            emit({"optimizer": opt_name,
+                  "mu_table": [[e, m] for e, m in res.mu_table]})
+        viz.use_publication_style()
+        viz.plot_method_comparison(
+            {o: r.history_by_eta[max(r.history_by_eta)]["loss"]
+             for o, r in sweep.items()},
+            out_dir, "optimizer_comparison.png")
     elif cfg.algorithm == "relobralo":
         import jax
         from gpe_tpu.train.balanced import fit_relobralo

@@ -49,8 +49,12 @@ def train_curriculum(spec: GPESpec, eta_values, mode: int = 0,
                      beta_init: float = 1.0, decay_rate: float = 1e-3,
                      tol: float = 0.0, patience: int = 10**9,
                      check_every: int = 512, fresh_net_per_eta: bool = True,
+                     optimizer: str = "adam",
                      verbose: bool = False) -> CurriculumResult:
-    """η-ramp continuation with frozen-previous-solution stacking."""
+    """η-ramp continuation with frozen-previous-solution stacking.
+
+    `optimizer` selects from the zoo (reference D4 trains this exact ramp
+    with each optimizer in its dict-dispatch table)."""
     if not spec.use_perturbation:
         raise ValueError("curriculum training stacks on a base; spec.use_perturbation must be True")
     eta_values = sorted(float(e) for e in eta_values)
@@ -66,8 +70,8 @@ def train_curriculum(spec: GPESpec, eta_values, mode: int = 0,
         if fresh_net_per_eta and k > 0:
             key, sub = jax.random.split(key)
             params = mlp.init_mlp(sub, spec.layers, "xavier_uniform")
-        optimizer = make_optimizer("adam", lr, clip_norm=1.0)
-        res = fit(loss_fn, optimizer, params, batch, eta, 1.0, epochs=epochs,
+        opt = make_optimizer(optimizer, lr, clip_norm=1.0)
+        res = fit(loss_fn, opt, params, batch, eta, 1.0, epochs=epochs,
                   tol=tol, patience=patience, check_every=check_every,
                   scale_schedule=sched)
         params = res.params

@@ -132,6 +132,8 @@ def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
     """
     gamma = jnp.asarray(gamma, jnp.float32)
     scale = jnp.asarray(scale, jnp.float32)
+    # a chunk longer than the whole budget just burns masked device steps
+    check_every = min(check_every, epochs)
     carry = _init_carry(optimizer, params, epochs)
 
     losses, mus = [], []
