@@ -15,6 +15,33 @@ import json
 import time
 
 
+def psi_errors(params, spec, x1, psi_ref):
+    """Wavefunction errors of the net vs the oracle grid solution: evaluate
+    the net on the oracle's (finer) grid, L2-normalize with the grid measure,
+    sign-align, and report ‖ψ_net − ψ_ref‖_L2 (≈ √∫(Δψ)² dxdy) and max|Δψ|.
+
+    Solution-quality evidence beyond the eigenvalue (the reference's F1/F7
+    plots are visual-only; SURVEY.md §4 item 2 uses ψ as a regression target).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    from gpe_tpu.models import mlp
+
+    n = x1.size
+    dx = float(x1[1] - x1[0])
+    X, Y = np.meshgrid(x1, x1, indexing="ij")
+    xy = jnp.asarray(np.stack([X.ravel(), Y.ravel()], -1), jnp.float32)
+    u = np.asarray(mlp.mlp_apply(params, xy, spec.activation),
+                   dtype=np.float64).reshape(n, n)
+    u = u / np.sqrt(np.sum(u * u) * dx * dx)
+    ref = np.asarray(psi_ref, dtype=np.float64)
+    if np.sum(u * ref) < 0:
+        u = -u
+    diff = u - ref
+    l2 = float(np.sqrt(np.sum(diff * diff) * dx * dx))
+    return l2, float(np.max(np.abs(diff)))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=224, help="grid side (n² points)")
@@ -75,8 +102,10 @@ def main(argv=None):
     gmax = args.gammas[-1]
     x1 = np.linspace(-8, 8, 384)
     X, Y = np.meshgrid(x1, x1, indexing="ij")
-    mu_ref, _ = imaginary_time_gpe(0.5 * (X**2 + Y**2), x1[1] - x1[0], gmax,
-                                   kinetic=0.5, tau=2e-3, richardson=True)
+    mu_ref, psi_ref = imaginary_time_gpe(0.5 * (X**2 + Y**2), x1[1] - x1[0],
+                                         gmax, kinetic=0.5, tau=2e-3,
+                                         richardson=True)
+    psi_l2, psi_max = psi_errors(params, spec, x1, psi_ref)
     summary = {
         "config": "BASELINE#3 2D GPE beta=100 ~50k pts",
         "n_points": args.n ** 2,
@@ -86,6 +115,8 @@ def main(argv=None):
         "mu_ref": mu_ref,
         "abs_err_net": abs(results[-1]["mu_net"] - mu_ref),
         "abs_err_grid": abs(results[-1]["mu_grid"] - mu_ref),
+        "psi_l2_err": psi_l2,
+        "psi_max_err": psi_max,
         "target": 1e-3,
         "total_wall_s": round(time.time() - t0, 1),
     }
