@@ -263,3 +263,9 @@ _register(ExperimentConfig(
     epochs=3000,
     optimizers=("adam", "adamw", "qhadam", "adabelief", "sophia",
                 "adahessian", "shampoo")))
+
+_register(ExperimentConfig(
+    name="mode0_all_potentials",                 # F6: mode_0_loss_for_all_potentials.py
+    spec=_PAPER_1D,                              # per-family specs built in run.py
+    algorithm="cross_potential", gamma_values=_gammas(11, 1.0),
+    modes=(0,), epochs=2001))

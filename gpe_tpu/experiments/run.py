@@ -195,6 +195,39 @@ def main(argv=None):
                               polish_steps=60, verbose=True)
         emit({"experiment": cfg.name, "mu_table": res.mu_table,
               "wall_s": round(time.time() - t0, 1)})
+    elif cfg.algorithm == "cross_potential":
+        # F6 (mode_0_loss_for_all_potentials.py:41-138): train-or-load a quick
+        # mode-0 γ-ramp per potential family, overlay the γ=0 loss curves
+        from dataclasses import replace as _replace
+        from gpe_tpu.experiments.configs import _PAPER_1D
+        fams = {
+            "harmonic": _PAPER_1D,
+            "box": _replace(_PAPER_1D, lb=0.0, ub=1.0, potential="box",
+                            basis="box", hard_bc=True),
+            "gravity_well": _replace(_PAPER_1D, lb=0.0, ub=35.0,
+                                     potential="linear", basis="airy"),
+            "gaussian": _replace(_PAPER_1D, potential="gaussian"),
+        }
+        loss_by_pot = {}
+        for label, fspec in fams.items():
+            bpath = os.path.join(out_dir, f"{label}_bundle.pkl")
+            if args.train or not os.path.exists(bpath):
+                res = train_plpinn(fspec, cfg.gamma_values, (0,),
+                                   epochs=cfg.epochs, tol=cfg.tol,
+                                   patience=cfg.patience,
+                                   perturb_const=cfg.perturb_const, lr=cfg.lr,
+                                   seed=cfg.seed,
+                                   pretrain_epochs=cfg.pretrain_epochs,
+                                   verbose=True)
+                save_bundle(bpath, res, fspec)
+            b = load_bundle(bpath)
+            g0 = sorted(b["training_history"][0])[0]
+            loss_by_pot[label] = b["training_history"][0][g0]["loss"]
+            emit({"potential": label,
+                  "mu_final": b["mu_table"][0][-1],
+                  "gamma0_final_loss": float(loss_by_pot[label][-1])})
+        viz.use_publication_style()
+        viz.plot_mode0_cross_potential(loss_by_pot, out_dir, smooth=9)
     elif cfg.algorithm == "optimizer_sweep":
         # reference D3+D4: the curriculum η-ramp trained once per optimizer in
         # the zoo (src/gross_pitaevskii_1D_Different_Optimizers.py:982-998)

@@ -141,5 +141,13 @@ def make_optimizer(name: str, learning_rate: float | Callable = 1e-3,
         raise ValueError(f"unknown optimizer {name!r}")
 
     if clip_norm is not None:
-        opt = optax.chain(optax.clip_by_global_norm(clip_norm), opt)
+        if name == "adahessian":
+            # Adam-family ratios m̂/√v̂ are invariant to a common grad rescale,
+            # so pre-clipping is safe. AdaHessian's denominator comes from the
+            # UNCLIPPED Hessian diagonal: clipping only the numerator shrinks
+            # the update by the clip factor (observed 4e4× on the curriculum
+            # loss — the net froze). Clip the preconditioned update instead.
+            opt = optax.chain(opt, optax.clip_by_global_norm(clip_norm))
+        else:
+            opt = optax.chain(optax.clip_by_global_norm(clip_norm), opt)
     return opt
