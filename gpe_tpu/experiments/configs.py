@@ -108,9 +108,11 @@ _register(ExperimentConfig(
 
 _register(ExperimentConfig(
     name="multirun_box_mode0",                   # ..._multiple_runs.py (5 seeds)
+    # the reference's multirun main compares PL vs vanilla at γ=0 (:1323) —
+    # the linear point where the 1e-11 / 1e-5 success thresholds apply
     spec=replace(_PAPER_1D, lb=0.0, ub=1.0, potential="box", basis="box",
                  hard_bc=True),
-    algorithm="compare", gamma_values=(100.0,), modes=(0,), n_runs=5))
+    algorithm="compare", gamma_values=(0.0,), modes=(0,), n_runs=5))
 
 # --- BASELINE.json configs ---------------------------------------------------
 

@@ -99,3 +99,28 @@ def test_second_order_optimizers_run_inside_fit(name):
               patience=10_000, check_every=100)
     assert np.isfinite(res.best_loss)
     assert res.best_loss < first
+
+
+def test_adahessian_clip_order_preserves_newton_scaling():
+    """Regression: clipping BEFORE adahessian shrank updates by the clip
+    factor (numerator clipped, Hutchinson denominator not) — with a 1e4-scaled
+    loss the update norm collapsed to ~1e-9 and the net froze.
+    make_optimizer must clip the preconditioned update AFTER adahessian."""
+    loss = lambda p: 1e4 * jnp.sum(p["w"] ** 2)
+    params = {"w": jnp.asarray([1.0, -2.0])}
+    opt = make_optimizer("adahessian", 1e-2, clip_norm=1.0)
+    state = opt.init(params)
+    g = jax.grad(loss)(params)   # norm ~4.5e4
+    u, _ = opt.update(g, state, params, obj_fn=loss, key=jax.random.PRNGKey(0))
+    norm = float(optax.global_norm(u))
+    # Newton scaling: m̂/√v̂ ≈ g/|diag| = w (O(1)); scaled by lr, not by 1/4.5e4
+    assert norm > 1e-3, f"update norm {norm:.2e} — pre-clip shrinkage is back"
+
+
+def test_curriculum_accepts_optimizer_name():
+    from gpe_tpu.train.curriculum import train_curriculum
+    spec = GPESpec(lb=-10.0, ub=10.0, n_points=256, layers=(1, 16, 16, 1),
+                   activation="tanh", use_perturbation=True)
+    res = train_curriculum(spec, [0.0], epochs=150, check_every=150,
+                           optimizer="qhadam")
+    assert np.isfinite(res.mu_table[0][1])
