@@ -287,11 +287,14 @@ def main(argv=None):
             # reference success thresholds: PL 1e-11, vanilla 1e-5
             # (plot_box_potential_at_ground_state_multiple_runs.py:1140-1146)
             thr = {"pl_pinn": 1e-11, "vanilla": 1e-5}
-            stats = {m: train_multiple_runs(cfg.spec, g, n_runs=cfg.n_runs,
-                                            use_perturbation=(m == "pl_pinn"),
-                                            epochs=cfg.epochs, tol=cfg.tol,
-                                            patience=cfg.patience,
-                                            success_threshold=thr[m])
+            # key by (method, gamma): a bare method key would silently keep
+            # only the last gamma's stats on multi-gamma configs
+            stats = {(f"{m}_g{g:g}" if len(cfg.gamma_values) > 1 else m):
+                     train_multiple_runs(cfg.spec, g, n_runs=cfg.n_runs,
+                                         use_perturbation=(m == "pl_pinn"),
+                                         epochs=cfg.epochs, tol=cfg.tol,
+                                         patience=cfg.patience,
+                                         success_threshold=thr[m])
                      for g in cfg.gamma_values for m in ("pl_pinn", "vanilla")}
             summary = {k: {"mu_median": v["mu_median"], "mu_std": v["mu_std"],
                            "mu_runs": [float(x) for x in v["mu_runs"]],

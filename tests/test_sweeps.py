@@ -73,9 +73,11 @@ def test_cli_list(capsys):
         assert name in out
 
 
-def test_cli_helmholtz_smoke(capsys):
+def test_cli_helmholtz_smoke(tmp_path, capsys):
+    # --out MUST be a tmp dir: the default writes runs/<name>/summary.json and
+    # a 200-epoch smoke would clobber the committed full-run artifact
     from gpe_tpu.experiments.run import main
-    rc = main(["helmholtz_square", "--epochs", "200"])
+    rc = main(["helmholtz_square", "--epochs", "200", "--out", str(tmp_path)])
     assert rc == 0
     out = json.loads([l for l in capsys.readouterr().out.splitlines()
                       if l.startswith("{")][-1])
