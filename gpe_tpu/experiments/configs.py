@@ -271,3 +271,17 @@ _register(ExperimentConfig(
     spec=_PAPER_1D,                              # per-family specs built in run.py
     algorithm="cross_potential", gamma_values=_gammas(11, 1.0),
     modes=(0,), epochs=2001))
+
+_register(ExperimentConfig(
+    name="deflation_2d",                         # 2D excited states, no analytic bases
+    # beyond the reference (which selects modes via base functions only):
+    # sequential deflation resolves the degenerate first excited doublet of
+    # the 2D trap at gamma=5
+    # the Riesz (energy) objective is what makes mode 0 land on the GROUND
+    # state — the pure residual objective accepts any eigenstate
+    spec=GPESpec(dim=2, lb=-6.0, ub=6.0, n_points=80,
+                 layers=(2, 64, 64, 64, 1), activation="tanh",
+                 potential="harmonic", potential_kwargs=(("a", 0.5),),
+                 kinetic=0.5, nonlinearity="abs_power", use_perturbation=False,
+                 objective="riesz", bc_weight=10.0, norm_weight=20.0),
+    algorithm="deflation", gamma_values=(5.0,), modes=(0, 1, 2), epochs=6000))
