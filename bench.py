@@ -52,9 +52,12 @@ PEAK_FLOPS = float(os.environ.get("GPE_TPU_PEAK_FLOPS", 197e12))
 def _spec(dtype):
     import jax.numpy as jnp
     from gpe_tpu.train import GPESpec
+    # vanilla ansatz (u = scale·net): the quantity ALL measured paths — XLA,
+    # Pallas kernel, and the torch reference baseline — compute identically
     return GPESpec(dim=2, n_points=N_SIDE, layers=LAYERS, potential="harmonic",
                    potential_kwargs=(("a", 0.5),), kinetic=0.5, basis="hermite",
                    lb=-6.0, ub=6.0, nonlinearity="abs_power",
+                   use_perturbation=False,
                    dtype={"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype])
 
 
@@ -151,17 +154,25 @@ def bench_jax():
 
     # 4. fused Pallas kernel — whole forward-Laplacian MLP + Hamiltonian +
     #    loss reductions VMEM-resident in one kernel (headline path)
-    dt_pallas = float("nan")
-    try:
-        from gpe_tpu.pallas import make_pallas_loss_eval
-        pev = make_pallas_loss_eval(
-            spec.layers, spec.activation, spec.p, spec.kinetic,
-            spec.nonlinearity, bc_weight=spec.bc_weight,
-            norm_weight=spec.norm_weight, tile=1792)
-        pf = lambda p, b, g_, s_: pev(p, b, g_, s_)[0]
-        dt_pallas = _true_time(eval_scan(pf, params, batch, gamma, scale))
-    except Exception as e:
-        print(f"pallas bench skipped: {e}", file=sys.stderr)
+    dt_pallas, pallas_rel_err = float("nan"), None
+    for tile in (3584, 1792):     # 3584 is ~13% faster; fall back on VMEM limits
+        try:
+            from gpe_tpu.pallas import make_pallas_loss_eval
+            pev = make_pallas_loss_eval(
+                spec.layers, spec.activation, spec.p, spec.kinetic,
+                spec.nonlinearity, bc_weight=spec.bc_weight,
+                norm_weight=spec.norm_weight, tile=tile)
+            pf = lambda p, b, g_, s_: pev(p, b, g_, s_)[0]
+            # exact-parity check: kernel and XLA compute the same loss
+            ptot = float(jax.jit(pf)(params, batch, gamma, scale))
+            xtot = float(jax.jit(xla_f)(params, batch, gamma, scale))
+            pallas_rel_err = abs(ptot - xtot) / max(abs(xtot), 1e-12)
+            assert pallas_rel_err < 1e-3, (
+                f"pallas/XLA loss mismatch: {ptot} vs {xtot}")
+            dt_pallas = _true_time(eval_scan(pf, params, batch, gamma, scale))
+            break
+        except Exception as e:
+            print(f"pallas bench tile={tile} skipped: {e}", file=sys.stderr)
 
     eval_fn = jax.jit(xla_f)
     total = float(eval_fn(params, batch, gamma, scale))
@@ -177,6 +188,7 @@ def bench_jax():
         "bf16_eval_pts_per_sec": n_pts / dt_eval16,
         "eval_tflops": flops / best_dt / 1e12,
         "eval_mfu": flops / best_dt / PEAK_FLOPS,
+        "pallas_vs_xla_rel_err": pallas_rel_err,
     }
 
 
@@ -246,6 +258,7 @@ def main():
         "bf16_eval_pts_per_sec": round(r["bf16_eval_pts_per_sec"]),
         "eval_tflops": round(r["eval_tflops"], 2),
         "eval_mfu": round(r["eval_mfu"], 4),
+        "pallas_vs_xla_rel_err": r["pallas_vs_xla_rel_err"],
         "total_loss": r["total_loss"],
     }))
 

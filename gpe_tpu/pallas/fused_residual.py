@@ -10,14 +10,16 @@ the four global sums that determine the loss:
 from which μ = S₁/S₂, pde = (S₀ − 2μS₁ + μ²S₂)/N and the normalization
 (S₃ − 1)² follow exactly. All channel state stays VMEM-resident across layers.
 
-Measured on TPU v5e (224² points, [2,100,100,100,1]): ~1.0e9 pts/s at
-tile=1792 vs ~2.0e9 pts/s for the XLA path — XLA's single stacked-GEMM
-formulation (ops/laplacian.py) keeps the MXU at ~0.83 MFU and hides the
-inter-layer HBM traffic behind compute, so the XLA path remains the
-production default. The kernel is kept as the hand-scheduled alternative
-(exact parity enforced by tests) for regimes where fusion wins — small
-per-step batches where XLA's dispatch overhead dominates, and as the
-foundation for fused multi-step kernels.
+Measured on TPU v5e (224² points, [2,100,100,100,1]) with honest device
+timing (forced-fetch scan regression — `jax.block_until_ready` does not
+synchronize on this image's tunnel backend, see bench.py): ~2.5e8 pts/s at
+tile=3584 (41 TF/s, ≈84% of the v5e's f32 MXU rate) vs ~8.6e7 pts/s for the
+unfused XLA path, which is HBM-bandwidth-bound for these skinny 100-wide
+GEMMs (~25 FLOP/byte → ~20 TF/s roofline). Keeping all channel state
+VMEM-resident across layers is a 3–4× win. `compute_dtype=bfloat16` runs the
+GEMMs at the MXU's bf16 rate with f32 accumulation — measured neutral here
+(the fused kernel is bound by the f32 VPU elementwise work: activation
+triple + channel combines), kept for wider nets where the MXU dominates.
 
 Scope: the vanilla ansatz (u = scale·net(x)) on scalar-output MLPs — the
 flagship/bench evaluation path. Training still uses the XLA path (the kernel
@@ -49,15 +51,17 @@ def pallas_supported() -> bool:
         return False
 
 
-def _pad_params(params: Sequence[tuple]):
+def _pad_params(params: Sequence[tuple], w_dtype=jnp.float32):
     """Zero-pad every (W, b): output lanes to 128, input sublanes to ≥8
-    (a K=2 contraction is hostile to the MXU and crashes Mosaic)."""
+    (a K=2 contraction is hostile to the MXU and crashes Mosaic).
+    Weights are stored in `w_dtype` (bf16 halves the VMEM footprint and runs
+    the MXU at its bf16 rate); biases stay f32 (added post-accumulation)."""
     padded = []
     for w, b in params:
         fi, fo = w.shape
         pi = max(8, ((fi + LANES - 1) // LANES) * LANES if fi > 8 else fi)
         po = LANES * ((fo + LANES - 1) // LANES)
-        wp = jnp.zeros((pi, po), jnp.float32).at[:fi, :fo].set(w.astype(jnp.float32))
+        wp = jnp.zeros((pi, po), w_dtype).at[:fi, :fo].set(w.astype(w_dtype))
         bp = jnp.zeros((po,), jnp.float32).at[:fo].set(b.astype(jnp.float32))
         padded.append((wp, bp))
     return padded
@@ -67,13 +71,16 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
                           p: float = 3.0, kinetic: float = 1.0,
                           nonlinearity: str = "abs_power",
                           bc_weight: float = 10.0, norm_weight: float = 20.0,
-                          tile: int = 1792, interpret: bool = False):
+                          tile: int = 1792, interpret: bool = False,
+                          compute_dtype=jnp.float32):
     """Build eval_fn(params, batch, gamma, scale) -> (total, aux) computing the
     full GPE loss with the fused Pallas kernel for the collocation terms
     (boundary term handled by plain XLA — it is tiny).
 
     `layers` and the physics constants are compile-time; params/γ/scale are
     runtime. Matches train.problem.make_loss_fn for a vanilla-ansatz GPESpec.
+    compute_dtype=bf16 runs the layer GEMMs at the MXU bf16 rate with f32
+    accumulation (channel state, activations, and reductions stay f32).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -105,10 +112,11 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
         for li in range(n_layers):
             W = wrefs[2 * li][...]
             b = wrefs[2 * li + 1][...]
-            v = jnp.dot(v, W, preferred_element_type=jnp.float32) + b
-            jac = [jnp.dot(j, W, preferred_element_type=jnp.float32)
+            cast = lambda a: a.astype(compute_dtype)
+            v = jnp.dot(cast(v), W, preferred_element_type=jnp.float32) + b
+            jac = [jnp.dot(cast(j), W, preferred_element_type=jnp.float32)
                    for j in jac]
-            lp = jnp.dot(lp, W, preferred_element_type=jnp.float32)
+            lp = jnp.dot(cast(lp), W, preferred_element_type=jnp.float32)
             if li < n_layers - 1:
                 val, d1, d2 = act(v)
                 g2 = jac[0] * jac[0]
@@ -152,7 +160,7 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
         grid = n // tile
         xp = jnp.zeros((n, max(d, 8)), jnp.float32).at[:, :d].set(
             x.astype(jnp.float32))
-        padded = _pad_params(params)
+        padded = _pad_params(params, w_dtype=compute_dtype)
         flat = []
         for W, b in padded:
             flat.extend([W, b.reshape(1, -1)])

@@ -38,3 +38,23 @@ def test_pallas_matches_xla_1d_shifted_tanh_power():
                    nonlinearity="power", use_perturbation=False,
                    activation="shifted_tanh")
     _check(spec, 5.0, 1.0, tile=512)
+
+
+def test_pallas_bf16_compute_close_to_f32():
+    # bf16 GEMM inputs with f32 accumulation: loose parity with the f32 loss
+    spec = GPESpec(dim=2, n_points=32, layers=(2, 100, 100, 100, 1),
+                   potential="harmonic", potential_kwargs=(("a", 0.5),),
+                   kinetic=0.5, lb=-6.0, ub=6.0, nonlinearity="abs_power",
+                   use_perturbation=False, activation="tanh")
+    batch = make_batch(spec, 0)
+    params = mlp.init_mlp(jax.random.PRNGKey(0), spec.layers)
+    ref_total, ref_aux = make_loss_fn(spec)(params, batch, 10.0, 0.01)
+    ev = make_pallas_loss_eval(spec.layers, spec.activation, spec.p,
+                               spec.kinetic, spec.nonlinearity,
+                               bc_weight=spec.bc_weight,
+                               norm_weight=spec.norm_weight,
+                               tile=256, interpret=True,
+                               compute_dtype=jnp.bfloat16)
+    tot, aux = ev(params, batch, 10.0, 0.01)
+    np.testing.assert_allclose(float(tot), float(ref_total), rtol=3e-2)
+    np.testing.assert_allclose(float(aux["mu"]), float(ref_aux["mu"]), rtol=3e-2)
