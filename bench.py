@@ -143,6 +143,31 @@ def bench_jax():
 
     dt_train = _true_time(train_scan)
 
+    # 2b. the fused Pallas training gradient (pallas/fused_grad.py) in the
+    #     same compiled scan — the production fast path for eligible specs
+    dt_train_fused = float("nan")
+    try:
+        from gpe_tpu.train.problem import make_fused_value_and_grad
+        vag = make_fused_value_and_grad(spec)
+        if vag is not None:
+            def fused_train_scan(K):
+                opt_state = opt.init(params)
+
+                @jax.jit
+                def run():
+                    def body(c, _):
+                        p, st = c
+                        (total, aux), grads = vag(p, batch, gamma, scale)
+                        updates, st = opt.update(grads, st, p)
+                        return (optax.apply_updates(p, updates), st), total
+                    (_, _), tots = lax.scan(body, (params, opt_state), None,
+                                            length=K)
+                    return tots[-1]
+                return run
+            dt_train_fused = _true_time(fused_train_scan)
+    except Exception as e:
+        print(f"fused train bench skipped: {e}", file=sys.stderr)
+
     # 3. bf16 eval path (f32 quadrature accumulation)
     spec16 = _spec("bf16")
     batch16 = make_batch(spec16, 0)
@@ -185,6 +210,9 @@ def bench_jax():
                                     if dt_pallas == dt_pallas else None),
         "xla_eval_pts_per_sec": n_pts / dt_eval,
         "train_step_pts_per_sec": n_pts / dt_train,
+        "fused_train_step_pts_per_sec": (n_pts / dt_train_fused
+                                         if dt_train_fused == dt_train_fused
+                                         else None),
         "bf16_eval_pts_per_sec": n_pts / dt_eval16,
         "eval_tflops": flops / best_dt / 1e12,
         "eval_mfu": flops / best_dt / PEAK_FLOPS,
@@ -255,6 +283,8 @@ def main():
                                     if r["pallas_eval_pts_per_sec"] else None),
         "xla_eval_pts_per_sec": round(r["xla_eval_pts_per_sec"]),
         "train_step_pts_per_sec": round(r["train_step_pts_per_sec"]),
+        "fused_train_step_pts_per_sec": (round(r["fused_train_step_pts_per_sec"])
+                                         if r["fused_train_step_pts_per_sec"] else None),
         "bf16_eval_pts_per_sec": round(r["bf16_eval_pts_per_sec"]),
         "eval_tflops": round(r["eval_tflops"], 2),
         "eval_mfu": round(r["eval_mfu"], 4),

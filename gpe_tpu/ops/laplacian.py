@@ -84,6 +84,39 @@ def activation_triple(name: str) -> Callable:
         raise ValueError(f"unknown activation {name!r}; have {sorted(ACTIVATIONS)}")
 
 
+def _tanh_quad(y):
+    t = jnp.tanh(y)
+    d1 = 1.0 - t * t
+    return t, d1, -2.0 * t * d1, (6.0 * t * t - 2.0) * d1
+
+
+def _shifted_tanh_quad(y, eps: float = 1e-6):
+    t, d1, d2, d3 = _tanh_quad(y)
+    return t + 1.0 + eps, d1, d2, d3
+
+
+def _sin_quad(y):
+    s, c = jnp.sin(y), jnp.cos(y)
+    return s, c, -s, -c
+
+
+ACTIVATION_QUADS = {
+    "tanh": _tanh_quad,
+    "shifted_tanh": _shifted_tanh_quad,
+    "sin": _sin_quad,
+}
+
+
+def activation_quad(name: str) -> Callable:
+    """(σ, σ′, σ″, σ‴) of the preactivation — σ‴ is needed by the reverse
+    sweep through the forward-Laplacian recursion (the Laplacian channel
+    carries σ″, whose derivative w.r.t. the preactivation is σ‴)."""
+    try:
+        return ACTIVATION_QUADS[name]
+    except KeyError:
+        raise ValueError(f"no σ‴ for activation {name!r}; have {sorted(ACTIVATION_QUADS)}")
+
+
 # ---------------------------------------------------------------------------
 # Forward-Laplacian MLP propagation
 # ---------------------------------------------------------------------------

@@ -204,4 +204,5 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
         return total, {"pde": pde, "boundary": boundary, "norm": norm,
                        "mu": mu, "total": total}
 
+    eval_fn.collocation_sums = collocation_sums    # reused by fused_grad.py
     return eval_fn

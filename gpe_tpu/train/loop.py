@@ -49,19 +49,23 @@ class FitResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("loss_fn", "optimizer", "check_every", "tol",
-                                   "patience", "scale_schedule", "epochs"))
+                                   "patience", "scale_schedule", "epochs",
+                                   "value_and_grad_fn"))
 def _run_chunk(loss_fn, optimizer, carry: FitCarry, batch, gamma, scale,
                check_every: int, tol: float, patience: int,
-               scale_schedule=None, epochs: int = None):
+               scale_schedule=None, epochs: int = None,
+               value_and_grad_fn=None):
     # Second-order / line-search optimizers (sophia, adahessian, lbfgs) need
     # the objective closure and a PRNG key as optax extra args; plain
     # first-order transforms ignore them (and XLA DCEs the unused closure).
     opt_x = optax.with_extra_args_support(optimizer)
 
+    vag = (jax.value_and_grad(loss_fn, has_aux=True)
+           if value_and_grad_fn is None else value_and_grad_fn)
+
     def step(c: FitCarry, _):
         s = scale if scale_schedule is None else scale_schedule(c.epoch)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            c.params, batch, gamma, s)
+        (loss, aux), grads = vag(c.params, batch, gamma, s)
         obj_fn = lambda p: loss_fn(p, batch, gamma, s)[0]
         key = jax.random.fold_in(jax.random.PRNGKey(0), c.epoch)
         updates, new_opt = opt_x.update(
@@ -121,7 +125,7 @@ def _init_carry(optimizer, params, epochs):
 def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
         batch, gamma, scale, epochs: int = 5001, tol: float = 1e-5,
         patience: int = 2000, check_every: int = 512,
-        scale_schedule=None) -> FitResult:
+        scale_schedule=None, value_and_grad_fn: Callable = None) -> FitResult:
     """Train until convergence or `epochs`, reference early-stop semantics.
 
     loss_fn(params, batch, gamma, scale) -> (total, aux with 'mu').
@@ -129,6 +133,9 @@ def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
     continuation warm starts, and per-epoch loss/μ histories.
     `scale_schedule` (epoch -> scale, jnp-traceable) overrides `scale` for
     curriculum-style α-decay mixing.
+    `value_and_grad_fn` (same contract as jax.value_and_grad(loss_fn,
+    has_aux=True)) swaps in a custom gradient — e.g. the fused Pallas
+    training kernel (pallas/fused_grad.py, ~5× the XLA step on TPU).
     """
     gamma = jnp.asarray(gamma, jnp.float32)
     scale = jnp.asarray(scale, jnp.float32)
@@ -144,7 +151,7 @@ def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
         # (updates past the `epochs` budget are masked inside the chunk)
         carry, (l_hist, mu_hist) = _run_chunk(
             loss_fn, optimizer, carry, batch, gamma, scale, check_every, tol,
-            patience, scale_schedule, epochs)
+            patience, scale_schedule, epochs, value_and_grad_fn)
         losses.append(np.asarray(l_hist[:n]))
         mus.append(np.asarray(mu_hist[:n]))
         steps_done += n

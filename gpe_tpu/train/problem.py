@@ -291,3 +291,36 @@ def make_loss_fn(spec: GPESpec) -> Callable:
         return total, aux
 
     return loss_fn
+
+
+def make_fused_value_and_grad(spec: GPESpec, tile: int = 896,
+                              sum_tile: int = 3584):
+    """The fused Pallas training gradient (pallas/fused_grad.py, ~5× the XLA
+    step on TPU) for eligible specs, else None — callers fall back to the
+    standard jax.value_and_grad path inside fit().
+
+    Eligible = the exact loss the kernel models: vanilla ansatz, pure
+    pde+boundary+norm objective with fixed weights, Riemann normalization, no
+    hard-BC factor, f32, an activation with a registered σ‴, a TPU backend,
+    and a collocation count divisible by both kernel tiles.
+    """
+    from gpe_tpu.ops.laplacian import ACTIVATION_QUADS
+    from gpe_tpu.pallas import make_pallas_value_and_grad, pallas_supported
+
+    n = spec.n_points ** spec.dim
+    ok = (spec.geometry == "square"
+          and not spec.use_perturbation and not spec.hard_bc
+          and spec.objective == "pde" and spec.weighting == "fixed"
+          and spec.riesz_weight == 0.0 and spec.sym_weight == 0.0
+          and not spec.anti_trivial and spec.width_weight == 0.0
+          and spec.pde_weight == 1.0 and spec.norm_style == "riemann"
+          and spec.dtype == jnp.float32
+          and spec.activation in ACTIVATION_QUADS
+          and n % tile == 0 and n % sum_tile == 0
+          and pallas_supported())
+    if not ok:
+        return None
+    return make_pallas_value_and_grad(
+        spec.layers, spec.activation, spec.p, spec.kinetic, spec.nonlinearity,
+        bc_weight=spec.bc_weight, norm_weight=spec.norm_weight,
+        tile=tile, sum_tile=sum_tile)
