@@ -77,7 +77,7 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                                tile=sum_tile, interpret=interpret)
     collocation_sums = ev.collocation_sums
 
-    def kernel(scal_ref, x_ref, V_ref, w_ref, *rest):
+    def kernel(scal_ref, x_ref, V_ref, w_ref, bval_ref, blap_ref, *rest):
         wrefs = rest[:2 * n_layers]
         orefs = rest[2 * n_layers:]
         i = pl.program_id(0)
@@ -114,8 +114,8 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                 v, lp = z, lz          # final layer is linear
 
         # ---- pointwise cotangents -----------------------------------------
-        u = scale * v[:, 0:1]
-        lap = scale * lp[:, 0:1]
+        u = bval_ref[...] + scale * v[:, 0:1]     # perturbation ansatz: the
+        lap = blap_ref[...] + scale * lp[:, 0:1]  # base is constant (no grads)
         V = V_ref[...]
         w = w_ref[...]
         au = jnp.abs(u)
@@ -189,7 +189,8 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                 j_bar = ([bT(jb) for jb in jz_bar] if jz_bar is not None
                          else [jnp.zeros_like(v_bar) for _ in range(d)])
 
-    def collocation_grads(params, x, V, w, gamma, scale, cots):
+    def collocation_grads(params, x, V, w, gamma, scale, cots,
+                          base_val=None, base_lap=None):
         n = x.shape[0]
         assert n % tile == 0, \
             f"collocation count {n} must be divisible by grad tile={tile}"
@@ -203,10 +204,16 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         scal = jnp.stack([jnp.float32(gamma), jnp.float32(scale),
                           *[c.astype(jnp.float32) for c in cots]]).reshape(1, 6)
 
+        bval = (jnp.zeros((n, 1), jnp.float32) if base_val is None
+                else base_val.astype(jnp.float32).reshape(-1, 1))
+        blap = (jnp.zeros((n, 1), jnp.float32) if base_lap is None
+                else base_lap.astype(jnp.float32).reshape(-1, 1))
         in_specs = [
             pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, max(d, 8)), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -224,7 +231,7 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
             kernel, grid=(grid,), in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape, interpret=interpret,
         )(scal, xp, V.astype(jnp.float32).reshape(-1, 1),
-          w.astype(jnp.float32).reshape(-1, 1), *flat)
+          w.astype(jnp.float32).reshape(-1, 1), bval, blap, *flat)
 
         grads = []
         for li, (W, b) in enumerate(params):
@@ -233,9 +240,9 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                           outs[2 * li + 1][0, :fo].astype(b.dtype)))
         return grads
 
-    def boundary_term(params, bx, scale):
+    def boundary_term(params, bx, scale, base_bval):
         from gpe_tpu.models import mlp
-        bv = mlp.mlp_apply(params, bx, activation) * scale
+        bv = base_bval + mlp.mlp_apply(params, bx, activation) * scale
         return bc_weight * jnp.mean(bv * bv)
 
     boundary_vg = jax.value_and_grad(boundary_term)
@@ -243,17 +250,22 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
     def vag(params, batch, gamma, scale):
         x, V, w = batch["x"], batch["V"], batch["w"]
         n = x.shape[0]
-        s0, s1, s2, s3 = collocation_sums(params, x, V, w, gamma, scale)
+        bval = batch.get("base_val")
+        blap = batch.get("base_lap")
+        bbv = batch.get("base_bval", jnp.float32(0.0))
+        s0, s1, s2, s3 = collocation_sums(params, x, V, w, gamma, scale,
+                                          bval, blap)
         mu = s1 / (s2 + 1e-12)
         pde = (s0 - 2.0 * mu * s1 + mu * mu * s2) / n
         norm = (s3 - 1.0) ** 2
-        boundary, bgrads = boundary_vg(params, batch["bx"], scale)
+        boundary, bgrads = boundary_vg(params, batch["bx"], scale, bbv)
         total = pde + boundary + norm_weight * norm
         aux = {"pde": pde, "boundary": boundary / bc_weight, "norm": norm,
                "mu": mu, "total": total}
         cots = (jnp.float32(1.0 / n), -2.0 * mu / n, mu * mu / n,
                 2.0 * norm_weight * (s3 - 1.0))
-        cgrads = collocation_grads(params, x, V, w, gamma, scale, cots)
+        cgrads = collocation_grads(params, x, V, w, gamma, scale, cots,
+                                   bval, blap)
         leaves = [g for (cw, cb), (bw, bb) in zip(cgrads, bgrads)
                   for g in (cw + bw, cb + bb)]
         grads = jax.tree.unflatten(jax.tree.structure(params), leaves)

@@ -91,7 +91,8 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
     act = activation_triple(activation)
     C = d + 2                              # value + d jacobian rows + laplacian
 
-    def kernel(gamma_ref, scale_ref, x_ref, V_ref, w_ref, *rest):
+    def kernel(gamma_ref, scale_ref, x_ref, V_ref, w_ref, bval_ref, blap_ref,
+               *rest):
         wrefs = rest[:-1]
         out_ref = rest[-1]
         i = pl.program_id(0)
@@ -126,8 +127,10 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
                 lp = d1 * lp + d2 * g2
                 v = val
 
-        u = scale * v[:, 0:1]                            # (T, 1) — stay 2-D
-        lap = scale * lp[:, 0:1]
+        # perturbation ansatz support: u = base + scale·net (vanilla passes
+        # zero base tiles — two (T,1) streams, negligible bandwidth)
+        u = bval_ref[...] + scale * v[:, 0:1]            # (T, 1) — stay 2-D
+        lap = blap_ref[...] + scale * lp[:, 0:1]
         V = V_ref[...]
         w = w_ref[...]
         if nonlinearity == "power":
@@ -152,7 +155,8 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
         def _():
             out_ref[...] = out_ref[...] + sums
 
-    def collocation_sums(params, x, V, w, gamma, scale):
+    def collocation_sums(params, x, V, w, gamma, scale,
+                         base_val=None, base_lap=None):
         n = x.shape[0]
         # padded tail rows would contribute u(0) ≠ 0 to the global sums, so
         # the point count must tile exactly (every registered config does)
@@ -165,11 +169,17 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
         for W, b in padded:
             flat.extend([W, b.reshape(1, -1)])
 
+        bval = (jnp.zeros((n, 1), jnp.float32) if base_val is None
+                else base_val.astype(jnp.float32).reshape(-1, 1))
+        blap = (jnp.zeros((n, 1), jnp.float32) if base_lap is None
+                else base_lap.astype(jnp.float32).reshape(-1, 1))
         in_specs = [
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, max(d, 8)), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -186,19 +196,22 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
         )(jnp.reshape(jnp.asarray(gamma, jnp.float32), (1, 1)),
           jnp.reshape(jnp.asarray(scale, jnp.float32), (1, 1)),
           xp, V.astype(jnp.float32).reshape(-1, 1),
-          w.astype(jnp.float32).reshape(-1, 1), *flat)
+          w.astype(jnp.float32).reshape(-1, 1), bval, blap, *flat)
         return out[0, 0], out[0, 1], out[0, 2], out[0, 3]
 
     def eval_fn(params, batch, gamma, scale):
         from gpe_tpu.models import mlp
 
         hu2, uhu, u2, u2w = collocation_sums(
-            params, batch["x"], batch["V"], batch["w"], gamma, scale)
+            params, batch["x"], batch["V"], batch["w"], gamma, scale,
+            batch.get("base_val"), batch.get("base_lap"))
         n = batch["x"].shape[0]
         mu = uhu / (u2 + 1e-12)
         pde = (hu2 - 2.0 * mu * uhu + mu * mu * u2) / n
         norm = (u2w - 1.0) ** 2
         bv = mlp.mlp_apply(params, batch["bx"], activation) * scale
+        if "base_bval" in batch:
+            bv = batch["base_bval"] + bv
         boundary = jnp.mean(bv * bv)
         total = pde + bc_weight * boundary + norm_weight * norm
         return total, {"pde": pde, "boundary": boundary, "norm": norm,

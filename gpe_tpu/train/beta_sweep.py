@@ -54,6 +54,8 @@ def train_beta_sweep(spec: GPESpec, beta_values, gamma: float = 0.0,
     potential V(x); each β step trains against β·V(x)."""
     beta_values = sorted(float(b) for b in beta_values)
     loss_fn = make_loss_fn(spec)
+    from gpe_tpu.train.problem import make_fused_value_and_grad
+    fused_vag = make_fused_value_and_grad(spec)
 
     params_by_mode, mu_table, training_history = {}, {}, {}
     constant_history, epochs_history = {}, {}
@@ -88,7 +90,7 @@ def train_beta_sweep(spec: GPESpec, beta_values, gamma: float = 0.0,
             batch["V"] = V_unit * jnp.asarray(beta, V_unit.dtype)
             res = fit(loss_fn, optimizer, params, batch, gamma, scale,
                       epochs=epochs, tol=tol, patience=patience,
-                      check_every=check_every)
+                      check_every=check_every, value_and_grad_fn=fused_vag)
             params = res.params          # warm start from restored best state
             mus.append((beta, res.mu_best))
             if keep_params:

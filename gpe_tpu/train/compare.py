@@ -45,6 +45,8 @@ def train_single_model(spec: GPESpec, gamma: float, mode: int = 0,
     spec = replace(spec, use_perturbation=use_perturbation)
     batch = make_batch(spec, mode)
     loss_fn = make_loss_fn(spec)
+    from gpe_tpu.train.problem import make_fused_value_and_grad
+    fused_vag = make_fused_value_and_grad(spec)
     params = mlp.init_mlp(jax.random.PRNGKey(seed), spec.layers, "xavier_uniform")
     if use_perturbation:
         target = np.asarray(base_triple(spec, mode, batch["x"]).value)
@@ -56,7 +58,8 @@ def train_single_model(spec: GPESpec, gamma: float, mode: int = 0,
         scale = 1.0
     opt = make_optimizer("adam", cosine_warm_restarts(lr, 200, 2, 1e-6), clip_norm=1.0)
     res = fit(loss_fn, opt, params, batch, gamma, scale, epochs=epochs, tol=tol,
-              patience=patience, check_every=check_every)
+              patience=patience, check_every=check_every,
+              value_and_grad_fn=fused_vag)
     return MethodRun(res.mu_best, res.best_loss, res.epochs_run, res.loss_history,
                      res.mu_history, res.params)
 
@@ -91,6 +94,8 @@ def train_multiple_runs(spec: GPESpec, gamma: float, mode: int = 0,
     spec = replace(spec, use_perturbation=use_perturbation)
     batch = make_batch(spec, mode)
     loss_fn = make_loss_fn(spec)
+    # (fit_ensemble vmaps the step — the fused Pallas gradient is not wired
+    # through vmap; the ensemble path stays on XLA)
 
     seeds = [base_seed + i for i in range(n_runs)]
     params_list = []

@@ -26,7 +26,8 @@ from gpe_tpu.models import mlp
 from gpe_tpu.train.loop import fit
 from gpe_tpu.train.optimizers import make_optimizer
 from gpe_tpu.train.pretrain import pretrain_to_base
-from gpe_tpu.train.problem import GPESpec, base_triple, make_batch, make_loss_fn
+from gpe_tpu.train.problem import (GPESpec, base_triple, make_batch,
+                                   make_fused_value_and_grad, make_loss_fn)
 from gpe_tpu.train.schedules import cosine_warm_restarts
 
 
@@ -88,6 +89,9 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
     # strength.py ramps 0 → −40)
     gamma_values = sorted(gs, reverse=all(g <= 0 for g in gs) and any(g < 0 for g in gs))
     loss_fn = make_loss_fn(spec)
+    # fused Pallas training gradient on TPU when the spec qualifies (None →
+    # fit() uses the standard jax.value_and_grad path)
+    fused_vag = make_fused_value_and_grad(spec)
     ckpt = None
     if checkpoint_path:
         from gpe_tpu.io.checkpoint import SweepCheckpointer
@@ -148,7 +152,8 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
                     by_gamma_epochs[gamma] = int(saved["epochs_run"])
                     continue
             res = fit(loss_fn, optimizer, params, batch, gamma, scale,
-                      epochs=epochs, tol=tol, patience=patience, check_every=check_every)
+                      epochs=epochs, tol=tol, patience=patience,
+                      check_every=check_every, value_and_grad_fn=fused_vag)
             # Warm-start from the restored best state (the reference loads
             # best_model_state before handing the model to the next γ,
             # harmonic_pinn_simulation.py:402-404,427).

@@ -293,30 +293,40 @@ def make_loss_fn(spec: GPESpec) -> Callable:
     return loss_fn
 
 
-def make_fused_value_and_grad(spec: GPESpec, tile: int = 896,
-                              sum_tile: int = 3584):
+def _pick_tile(n: int, cap: int) -> int | None:
+    """Largest divisor of n that is ≤ cap and a multiple of 8 (TPU sublanes)."""
+    for t in range(min(cap, n), 7, -8):
+        if n % t == 0 and t % 8 == 0:
+            return t
+    return None
+
+
+def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 896,
+                              sum_tile_cap: int = 3584):
     """The fused Pallas training gradient (pallas/fused_grad.py, ~5× the XLA
     step on TPU) for eligible specs, else None — callers fall back to the
     standard jax.value_and_grad path inside fit().
 
-    Eligible = the exact loss the kernel models: vanilla ansatz, pure
-    pde+boundary+norm objective with fixed weights, Riemann normalization, no
-    hard-BC factor, f32, an activation with a registered σ‴, a TPU backend,
-    and a collocation count divisible by both kernel tiles.
+    Eligible = the exact loss the kernel models: plain or perturbation
+    ansatz on a square grid, pure pde+boundary+norm objective with fixed
+    weights, Riemann normalization, no hard-BC factor, f32, an activation
+    with a registered σ‴, a TPU backend, and a collocation count with tile
+    divisors (picked automatically up to the caps).
     """
     from gpe_tpu.ops.laplacian import ACTIVATION_QUADS
     from gpe_tpu.pallas import make_pallas_value_and_grad, pallas_supported
 
     n = spec.n_points ** spec.dim
-    ok = (spec.geometry == "square"
-          and not spec.use_perturbation and not spec.hard_bc
+    tile = _pick_tile(n, tile_cap)
+    sum_tile = _pick_tile(n, sum_tile_cap)
+    ok = (spec.geometry == "square" and not spec.hard_bc
           and spec.objective == "pde" and spec.weighting == "fixed"
           and spec.riesz_weight == 0.0 and spec.sym_weight == 0.0
           and not spec.anti_trivial and spec.width_weight == 0.0
           and spec.pde_weight == 1.0 and spec.norm_style == "riemann"
           and spec.dtype == jnp.float32
           and spec.activation in ACTIVATION_QUADS
-          and n % tile == 0 and n % sum_tile == 0
+          and tile is not None and sum_tile is not None
           and pallas_supported())
     if not ok:
         return None

@@ -58,3 +58,11 @@ def test_pallas_bf16_compute_close_to_f32():
     tot, aux = ev(params, batch, 10.0, 0.01)
     np.testing.assert_allclose(float(tot), float(ref_total), rtol=3e-2)
     np.testing.assert_allclose(float(aux["mu"]), float(ref_aux["mu"]), rtol=3e-2)
+
+
+def test_pallas_matches_xla_perturbation_ansatz():
+    spec = GPESpec(dim=1, n_points=1024, layers=(1, 64, 64, 64, 1),
+                   potential="harmonic", lb=-10.0, ub=10.0,
+                   nonlinearity="power", use_perturbation=True,
+                   basis="hermite", activation="shifted_tanh")
+    _check(spec, 3.0, 0.01, tile=512)

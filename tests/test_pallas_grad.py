@@ -80,3 +80,12 @@ def test_fused_grad_trains():
                                 jnp.float32(1.0))
         best = min(best, float(total))
     assert best < 0.5 * float(first)
+
+
+def test_fused_grad_matches_xla_perturbation_ansatz():
+    # PL-PINN composition: u = base + scale·net, boundary base_bval + scale·net
+    spec = GPESpec(dim=1, n_points=1024, layers=(1, 64, 64, 64, 1),
+                   potential="harmonic", lb=-10.0, ub=10.0,
+                   nonlinearity="power", use_perturbation=True,
+                   basis="hermite", activation="shifted_tanh")
+    _check_grads(spec, 3.0, 0.01, tile=256, sum_tile=512)
