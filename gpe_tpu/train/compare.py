@@ -94,8 +94,10 @@ def train_multiple_runs(spec: GPESpec, gamma: float, mode: int = 0,
     spec = replace(spec, use_perturbation=use_perturbation)
     batch = make_batch(spec, mode)
     loss_fn = make_loss_fn(spec)
-    # (fit_ensemble vmaps the step — the fused Pallas gradient is not wired
-    # through vmap; the ensemble path stays on XLA)
+    # the fused Pallas gradient composes with vmap (pallas batching adds a
+    # grid dimension); verified to match per-run results exactly
+    from gpe_tpu.train.problem import make_fused_value_and_grad
+    fused_vag = make_fused_value_and_grad(spec)
 
     seeds = [base_seed + i for i in range(n_runs)]
     params_list = []
@@ -118,7 +120,7 @@ def train_multiple_runs(spec: GPESpec, gamma: float, mode: int = 0,
     opt = make_optimizer("adam", cosine_warm_restarts(lr, 200, 2, 1e-6), clip_norm=1.0)
     ens = fit_ensemble(loss_fn, opt, params_batch, batch, gamma, scale,
                        epochs=epochs, tol=tol, patience=patience,
-                       check_every=check_every)
+                       check_every=check_every, value_and_grad_fn=fused_vag)
 
     ok = np.ones(n_runs, dtype=bool)
     if success_threshold is not None:

@@ -195,7 +195,8 @@ class EnsembleFitResult(NamedTuple):
 def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
                  params_batch, batch, gamma, scale, epochs: int = 5001,
                  tol: float = 1e-5, patience: int = 2000,
-                 check_every: int = 512) -> EnsembleFitResult:
+                 check_every: int = 512,
+                 value_and_grad_fn: Callable = None) -> EnsembleFitResult:
     """vmapped multi-run training — R seeds (or modes) advance in ONE compiled
     program, turning the reference's sequential 5-seed loop
     (plot_box_potential_at_ground_state_multiple_runs.py:987-1053) into a
@@ -215,7 +216,8 @@ def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
 
     run_chunk = jax.vmap(
         lambda c, s: _run_chunk(loss_fn, optimizer, c, batch, gamma, s,
-                                check_every, tol, patience, None, epochs))
+                                check_every, tol, patience, None, epochs,
+                                value_and_grad_fn))
 
     losses, mus = [], []
     steps_done = 0
