@@ -313,13 +313,22 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 896,
     with a registered σ‴, a TPU backend, and a collocation count with tile
     divisors (picked automatically up to the caps).
     """
+    import os
+
     from gpe_tpu.ops.laplacian import ACTIVATION_QUADS
     from gpe_tpu.pallas import make_pallas_value_and_grad, pallas_supported
 
+    if os.environ.get("GPE_TPU_NO_FUSED"):      # operational kill switch
+        return None
     n = spec.n_points ** spec.dim
     tile = _pick_tile(n, tile_cap)
     sum_tile = _pick_tile(n, sum_tile_cap)
-    ok = (spec.geometry == "square" and not spec.hard_bc
+    # The fused path wins at scale (50k-pt 2D, width>=100: 5x the XLA step)
+    # but loses on small 1D problems (4000 pts, width 64 padded to 128 lanes:
+    # measured 7x SLOWER end-to-end than XLA's fused graph) — per-kernel
+    # overhead and lane padding dominate. Gate on the collocation count.
+    ok = (n >= 16384
+          and spec.geometry == "square" and not spec.hard_bc
           and spec.objective == "pde" and spec.weighting == "fixed"
           and spec.riesz_weight == 0.0 and spec.sym_weight == 0.0
           and not spec.anti_trivial and spec.width_weight == 0.0
