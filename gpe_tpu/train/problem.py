@@ -302,7 +302,10 @@ def _pick_tile(n: int, cap: int) -> int | None:
 
 
 def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 896,
-                              sum_tile_cap: int = 3584):
+                              sum_tile_cap: int = 1792):
+    # sum_tile 3584 overflows the 16MB VMEM scope for 128-wide nets with the
+    # perturbation base streams (measured 16.64M); 1792 is safe and costs
+    # ~13% on pass 1 only
     """The fused Pallas training gradient (pallas/fused_grad.py, ~5× the XLA
     step on TPU) for eligible specs, else None — callers fall back to the
     standard jax.value_and_grad path inside fit().
