@@ -168,9 +168,14 @@ def solve_gpe_excited_1d(V: np.ndarray, dx: float, gamma: float, mode: int = 0,
         full[1:-1] = u
         return full / np.sqrt(np.sum(full * full) * dx)
 
-    # linear warm start (shift-invert: smallest eigenvalues, fast)
+    # linear warm start (shift-invert: smallest eigenvalues, fast).
+    # v0 MUST be fixed and generic: eigsh defaults to a start vector from
+    # numpy's GLOBAL rng, so results depended on whatever ran before (a full
+    # pytest session once made mode 5 land 1.2 off); k+2 extra Krylov targets
+    # guard against a missed eigenvalue in the cluster.
     sigma = float(np.min(V)) - 1.0
-    mus, vecs = eigsh(A.tocsc(), k=mode + 1, sigma=sigma, which="LM")
+    v0 = np.random.default_rng(12345).standard_normal(n)
+    mus, vecs = eigsh(A.tocsc(), k=mode + 3, sigma=sigma, which="LM", v0=v0)
     order = np.argsort(mus)
     psi = vecs[:, order[mode]] / np.sqrt(dx)
     if psi[np.argmax(np.abs(psi))] < 0:
