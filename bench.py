@@ -196,7 +196,10 @@ def bench_jax():
                 f"pallas/XLA loss mismatch: {ptot} vs {xtot}")
             dt_pallas = _true_time(eval_scan(pf, params, batch, gamma, scale))
             break
+        except AssertionError:
+            raise      # a genuine parity failure must fail the bench loudly
         except Exception as e:
+            # expected: kernel-build/VMEM-limit failures at the larger tile
             print(f"pallas bench tile={tile} skipped: {e}", file=sys.stderr)
 
     eval_fn = jax.jit(xla_f)

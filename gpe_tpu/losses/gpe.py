@@ -35,6 +35,11 @@ class GPETerms:
     anti_trivial: bool = False           # eigenvalue regularizers (C9)
     anti_trivial_c: float = 2.0
     width_penalty: bool = False          # C13: −γ·mean(|x|²u²) wide-solution bias
+    mu_report_shift: float = 0.0         # C3 old-notebook quirk: the REPORTED
+    # eigenvalue is λ+mode (λ_riesz = E+mode, lambda_pde += mode,
+    # Notebooks/Paper/Gross_Pitaevskii_1D_Harmonic.ipynb cell 6) while the
+    # residual uses the unshifted Rayleigh quotient — a reporting convention,
+    # reproduced here for parity audits
 
 
 class TermsOutput(NamedTuple):
@@ -109,4 +114,4 @@ def gpe_terms(u, grad, lap, bv, V, w, gamma, cfg: GPETerms,
         losses["reg_lambda"] = 1.0 / (mu * mu + 1e-6)
         losses["reg_drive"] = jnp.exp(-mu + cfg.anti_trivial_c)
 
-    return TermsOutput(losses, mu, u)
+    return TermsOutput(losses, mu + cfg.mu_report_shift, u)

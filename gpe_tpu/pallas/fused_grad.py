@@ -35,10 +35,13 @@ The tiny boundary term (bc_weight·mean((scale·net(bx))²)) is differentiated
 by plain XLA and added. Exact-gradient parity with
 jax.grad(make_loss_fn(spec)) is enforced by tests/test_pallas_grad.py.
 
-Scope: vanilla ansatz (u = scale·net(x)), scalar-output MLP, activations with
-a registered σ‴ (tanh family, sin). Reference analog: none — the reference
-trains with torch autograd (SURVEY.md §3 hot spots); this kernel is the
-TPU-native speed-of-light replacement for the training hot path.
+Scope: vanilla (u = scale·net(x)) AND perturbation (u = base + scale·net(x))
+ansätze — the base (value, Laplacian) streams enter as constant per-point
+inputs (`base_val`/`base_lap` below), so PL-PINN training runs fused too.
+Scalar-output MLP, activations with a registered σ‴ (tanh family, sin).
+Reference analog: none — the reference trains with torch autograd
+(SURVEY.md §3 hot spots); this kernel is the TPU-native speed-of-light
+replacement for the training hot path.
 """
 from __future__ import annotations
 
@@ -57,7 +60,7 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                                nonlinearity: str = "abs_power",
                                bc_weight: float = 10.0,
                                norm_weight: float = 20.0,
-                               tile: int = 896, sum_tile: int = 3584,
+                               tile: int = 896, sum_tile: int = 1792,
                                interpret: bool = False):
     """Build vag(params, batch, gamma, scale) -> ((total, aux), grads) with
     the same contract as jax.value_and_grad(make_loss_fn(spec), has_aux=True)
@@ -241,9 +244,12 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         return grads
 
     def boundary_term(params, bx, scale, base_bval):
+        # unweighted mean(bv²): aux reports it directly (no division by
+        # bc_weight, which may legitimately be 0) and the weight is applied
+        # to the value/grads at the call site
         from gpe_tpu.models import mlp
         bv = base_bval + mlp.mlp_apply(params, bx, activation) * scale
-        return bc_weight * jnp.mean(bv * bv)
+        return jnp.mean(bv * bv)
 
     boundary_vg = jax.value_and_grad(boundary_term)
 
@@ -258,9 +264,10 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         mu = s1 / (s2 + 1e-12)
         pde = (s0 - 2.0 * mu * s1 + mu * mu * s2) / n
         norm = (s3 - 1.0) ** 2
-        boundary, bgrads = boundary_vg(params, batch["bx"], scale, bbv)
-        total = pde + boundary + norm_weight * norm
-        aux = {"pde": pde, "boundary": boundary / bc_weight, "norm": norm,
+        bmean, bgrads = boundary_vg(params, batch["bx"], scale, bbv)
+        bgrads = jax.tree.map(lambda g: bc_weight * g, bgrads)
+        total = pde + bc_weight * bmean + norm_weight * norm
+        aux = {"pde": pde, "boundary": bmean, "norm": norm,
                "mu": mu, "total": total}
         cots = (jnp.float32(1.0 / n), -2.0 * mu / n, mu * mu / n,
                 2.0 * norm_weight * (s3 - 1.0))

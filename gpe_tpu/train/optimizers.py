@@ -103,11 +103,54 @@ def adahessian(learning_rate: float | Callable = 0.1, b1: float = 0.9,
     return optax.GradientTransformationExtraArgs(init, update)
 
 
+def ranger21(learning_rate: float | Callable = 1e-3, b1: float = 0.9,
+             b2: float = 0.999, weight_decay: float = 1e-4,
+             agc_clip: float = 1e-2, warmup_steps: int = 300,
+             warmdown_frac: float = 0.28,
+             total_steps: int | None = None) -> optax.GradientTransformation:
+    """Ranger21 (Wright & Demeure 2021) — the reference imports it
+    (gross_pitaevskii_1D_Different_Optimizers.py:10) but never dispatches it
+    (the optimizers dict :540-556 holds Adam/AdamW/DistributedShampoo only).
+
+    TPU-native composition of its core ingredients from optax primitives:
+    gradient centralization → adaptive gradient clipping (AGC) → AdamW with
+    linear warmup (+ optional linear warmdown when total_steps is given).
+    Omitted relative to the original: lookahead (optax.lookahead's fast/slow
+    param split does not compose with fit()'s plain-pytree carry) and
+    positive–negative momentum — both are refinements, not the algorithm's
+    spine; documented here for the parity audit.
+    """
+    if callable(learning_rate):
+        sched = learning_rate
+    elif total_steps is not None:
+        down = max(int(warmdown_frac * total_steps), 1)
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, learning_rate, warmup_steps),
+             optax.constant_schedule(learning_rate),
+             optax.linear_schedule(learning_rate, 1e-8, down)],
+            [warmup_steps, max(total_steps - down, warmup_steps)])
+    else:
+        sched = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    return optax.chain(
+        optax.centralize(),
+        optax.adaptive_grad_clip(agc_clip),
+        optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay),
+    )
+
+
 def make_optimizer(name: str, learning_rate: float | Callable = 1e-3,
-                   clip_norm: float | None = None, **kwargs) -> optax.GradientTransformation:
+                   clip_norm: float | None = None,
+                   plateau: dict | None = None, **kwargs) -> optax.GradientTransformation:
     """Build an optimizer by name with optional global-norm gradient clipping.
 
     learning_rate may be a float or an optax schedule (step -> lr).
+    `plateau` enables ReduceLROnPlateau semantics (reference D5:
+    torch ReduceLROnPlateau(factor=.5, patience=100-500, min_lr=1e-7) stepped
+    on the total loss each epoch, gross_pitaevskii_1D_Different_Optimizers.py
+    :559-561): the update is scaled by optax.contrib.reduce_on_plateau, which
+    consumes the per-step loss via the `value` extra arg that fit()'s step
+    already supplies. Keys: factor, patience, min_scale, rtol, cooldown
+    (defaults = the reference's settings; min_scale 1e-4 ≈ min_lr/base_lr).
     """
     name = name.lower()
     if name == "adam":
@@ -132,6 +175,8 @@ def make_optimizer(name: str, learning_rate: float | Callable = 1e-3,
         opt = optax.contrib.muon(learning_rate, **kwargs)
     elif name == "prodigy":
         opt = optax.contrib.prodigy(learning_rate, **kwargs)
+    elif name == "ranger21":
+        opt = ranger21(learning_rate, **kwargs)
     elif name in ("shampoo", "distributed_shampoo"):
         from gpe_tpu.train.shampoo import shampoo
         opt = shampoo(learning_rate, **kwargs)
@@ -139,6 +184,11 @@ def make_optimizer(name: str, learning_rate: float | Callable = 1e-3,
         opt = optax.lbfgs(learning_rate, **kwargs)
     else:
         raise ValueError(f"unknown optimizer {name!r}")
+
+    if plateau is not None:
+        cfg = dict(factor=0.5, patience=500, min_scale=1e-4, rtol=1e-4)
+        cfg.update(plateau)
+        opt = optax.chain(opt, optax.contrib.reduce_on_plateau(**cfg))
 
     if clip_norm is not None:
         if name == "adahessian":

@@ -130,3 +130,22 @@ def test_width_penalty_term():
     base = aux["pde"] + 10 * aux["boundary"] + 20 * aux["norm"]
     np.testing.assert_allclose(float(total), float(base + 0.5 * aux["width"]),
                                rtol=1e-6)
+
+
+def test_mu_report_shift_only_affects_reported_mu():
+    """C3 old-notebook quirk: λ+mode is REPORTED while the residual uses the
+    unshifted Rayleigh quotient (Gross_Pitaevskii_1D_Harmonic.ipynb cell 6)."""
+    import jax
+    import jax.numpy as jnp
+    from gpe_tpu.models import mlp
+    from gpe_tpu.train.problem import GPESpec, make_batch, make_loss_fn
+    base = dict(lb=-8.0, ub=8.0, n_points=256, layers=(1, 16, 16, 1),
+                activation="tanh", use_perturbation=False)
+    s0 = GPESpec(**base)
+    s2 = GPESpec(mu_report_shift=2.0, **base)
+    batch = make_batch(s0, 0)
+    params = mlp.init_mlp(jax.random.PRNGKey(0), s0.layers)
+    t0, a0 = make_loss_fn(s0)(params, batch, jnp.float32(1.0), jnp.float32(1.0))
+    t2, a2 = make_loss_fn(s2)(params, batch, jnp.float32(1.0), jnp.float32(1.0))
+    assert abs(float(a2["mu"]) - float(a0["mu"]) - 2.0) < 1e-6
+    assert abs(float(t2) - float(t0)) < 1e-7   # loss itself unshifted

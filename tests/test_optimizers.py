@@ -124,3 +124,37 @@ def test_curriculum_accepts_optimizer_name():
     res = train_curriculum(spec, [0.0], epochs=150, check_every=150,
                            optimizer="qhadam")
     assert np.isfinite(res.mu_table[0][1])
+
+
+def test_reduce_on_plateau_scales_updates_in_fit():
+    """Reference D5 ReduceLROnPlateau: under a flat loss the plateau wrapper
+    halves the update scale every `patience` steps (stepped on the per-epoch
+    loss via fit()'s `value` extra arg)."""
+    opt = make_optimizer("adam", 1e-3, plateau=dict(factor=0.5, patience=3))
+    opt_x = optax.with_extra_args_support(opt)
+    params = {"w": jnp.ones(3)}
+    state = opt.init(params)
+    g = {"w": jnp.ones(3)}
+    obj = lambda p: jnp.float32(1.0)
+    for _ in range(10):
+        u, state = opt_x.update(g, state, params, value=jnp.float32(1.0),
+                                obj_fn=obj, key=jax.random.PRNGKey(0),
+                                grad=g, value_fn=obj)
+    # two plateau halvings in 10 flat steps: |update| ≈ lr/4
+    assert float(jnp.abs(u["w"][0])) < 0.5 * 1e-3
+
+
+def test_reduce_on_plateau_inside_fit_runs():
+    from gpe_tpu.train.loop import fit
+    from gpe_tpu.train.problem import GPESpec, make_batch, make_loss_fn
+    from gpe_tpu.models import mlp
+    spec = GPESpec(lb=-8.0, ub=8.0, n_points=256, layers=(1, 16, 16, 1),
+                   activation="tanh", use_perturbation=False)
+    batch = make_batch(spec, 0)
+    loss_fn = make_loss_fn(spec)
+    params = mlp.init_mlp(jax.random.PRNGKey(0), spec.layers)
+    opt = make_optimizer("adam", 1e-3, clip_norm=1.0,
+                         plateau=dict(factor=0.5, patience=50))
+    res = fit(loss_fn, opt, params, batch, 0.0, 1.0, epochs=200,
+              check_every=100, tol=0.0, patience=10**9)
+    assert np.isfinite(res.best_loss)

@@ -82,6 +82,58 @@ def test_fused_grad_trains():
     assert best < 0.5 * float(first)
 
 
+def test_fused_grad_vmap_matches_per_run():
+    # fit_ensemble vmaps the fused vag over a params batch (pallas batching
+    # adds a grid dimension) — parity with per-run results is the contract
+    # compare.py relies on (ADVICE r1 #4)
+    spec = GPESpec(dim=1, n_points=256, layers=(1, 32, 32, 1),
+                   potential="harmonic", lb=-8.0, ub=8.0,
+                   nonlinearity="power", use_perturbation=True,
+                   basis="hermite", activation="tanh")
+    batch = make_batch(spec, 0)
+    vag = make_pallas_value_and_grad(
+        spec.layers, spec.activation, spec.p, spec.kinetic, spec.nonlinearity,
+        bc_weight=spec.bc_weight, norm_weight=spec.norm_weight,
+        tile=128, sum_tile=256, interpret=True)
+    params_list = [mlp.init_mlp(jax.random.PRNGKey(s), spec.layers)
+                   for s in range(3)]
+    pbatch = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+    scales = jnp.asarray([0.01, 0.02, 0.05], jnp.float32)
+    vv = jax.vmap(vag, in_axes=(0, None, None, 0))
+    (tot_b, aux_b), grads_b = vv(pbatch, batch, jnp.float32(2.0), scales)
+    for r, p in enumerate(params_list):
+        (tot, aux), grads = vag(p, batch, jnp.float32(2.0), scales[r])
+        np.testing.assert_allclose(float(tot_b[r]), float(tot), rtol=1e-6)
+        np.testing.assert_allclose(float(aux_b["mu"][r]), float(aux["mu"]),
+                                   rtol=1e-6)
+        for (gw, gb), (bw, bb) in zip(grads, jax.tree.map(lambda a: a[r],
+                                                          grads_b)):
+            np.testing.assert_allclose(np.asarray(bw), np.asarray(gw),
+                                       rtol=1e-5, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(bb), np.asarray(gb),
+                                       rtol=1e-5, atol=1e-7)
+
+
+def test_fused_grad_zero_bc_weight_finite_aux():
+    # bc_weight=0 must not NaN the boundary aux (ADVICE r1 #1)
+    spec = GPESpec(dim=1, n_points=256, layers=(1, 32, 32, 1),
+                   potential="harmonic", lb=-8.0, ub=8.0, bc_weight=0.0,
+                   nonlinearity="power", use_perturbation=False,
+                   activation="tanh")
+    batch = make_batch(spec, 0)
+    params = mlp.init_mlp(jax.random.PRNGKey(0), spec.layers)
+    vag = make_pallas_value_and_grad(
+        spec.layers, spec.activation, spec.p, spec.kinetic, spec.nonlinearity,
+        bc_weight=0.0, norm_weight=spec.norm_weight,
+        tile=128, sum_tile=256, interpret=True)
+    (total, aux), grads = vag(params, batch, jnp.float32(1.0), jnp.float32(1.0))
+    assert np.isfinite(float(aux["boundary"]))
+    loss_fn = make_loss_fn(spec)
+    (ref_total, _), _ = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, batch, jnp.float32(1.0), jnp.float32(1.0))
+    np.testing.assert_allclose(float(total), float(ref_total), rtol=1e-5)
+
+
 def test_fused_grad_matches_xla_perturbation_ansatz():
     # PL-PINN composition: u = base + scale·net, boundary base_bval + scale·net
     spec = GPESpec(dim=1, n_points=1024, layers=(1, 64, 64, 64, 1),
