@@ -30,6 +30,8 @@ class ExperimentConfig:
     rebase: bool = False
     algorithm: str = "plpinn"            # plpinn | two_stage | compare | curriculum
     mu_exact_fn: str | None = None       # oracle for error tables
+    use_mesh: bool = False               # run fit() under collocation-sharded
+    # data parallelism on all local devices (shard_map + psum over ICI)
 
 
 def _gammas(n: int, step: float = 0.5, start: float = 0.0):
@@ -78,6 +80,13 @@ _register(ExperimentConfig(
 _register(ExperimentConfig(
     name="harmonic_negative_gamma",              # ..._negative_interaction_strength.py
     spec=_PAPER_1D, gamma_values=tuple(-0.5 * k for k in range(81)), modes=(0,)))
+
+_register(ExperimentConfig(
+    name="plpinn_sharded_dp",                    # production sharded execution:
+    # the paper 1D spec trained with collocation points sharded over every
+    # local device (4000 pts / 8 chips = 500/shard; quadrature = psum on ICI)
+    spec=_PAPER_1D, gamma_values=_gammas(11, 1.0), modes=(0,), epochs=3001,
+    use_mesh=True))
 
 _register(ExperimentConfig(
     name="harmonic_p4",

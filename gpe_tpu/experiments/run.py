@@ -120,12 +120,19 @@ def main(argv=None):
 
     t0 = time.time()
     if cfg.algorithm == "plpinn":
+        mesh = None
+        if cfg.use_mesh:
+            from gpe_tpu.parallel import make_mesh
+            mesh = make_mesh()
+            print(f"mesh: {len(mesh.devices.flat)} devices, "
+                  f"{cfg.spec.n_points ** cfg.spec.dim} collocation points "
+                  f"sharded on axis {mesh.axis_names[0]!r}")
         if (args.train or not os.path.exists(bundle_path)) and not args.plots:
             res = train_plpinn(cfg.spec, cfg.gamma_values, cfg.modes,
                                epochs=cfg.epochs, tol=cfg.tol, patience=cfg.patience,
                                perturb_const=cfg.perturb_const, lr=cfg.lr,
                                seed=cfg.seed, pretrain_epochs=cfg.pretrain_epochs,
-                               rebase=cfg.rebase, verbose=True)
+                               rebase=cfg.rebase, mesh=mesh, verbose=True)
             save_bundle(bundle_path, res, cfg.spec)
         bundle = load_bundle(bundle_path)
         viz.use_publication_style()
@@ -138,6 +145,7 @@ def main(argv=None):
             print(f"wavefunction plot skipped: {e}")
         emit({"experiment": cfg.name,
               "mu_table_tail": {str(m): v[-1] for m, v in bundle["mu_table"].items()},
+              **({"mesh_devices": len(mesh.devices.flat)} if mesh else {}),
               "wall_s": round(time.time() - t0, 1)})
     elif cfg.algorithm == "two_stage":
         res = train_two_stage(cfg.spec, cfg.beta_values, cfg.gamma_values,

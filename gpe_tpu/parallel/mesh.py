@@ -121,6 +121,24 @@ def make_parallel_loss(loss_fn: Callable, mesh: Mesh, batch: dict,
     return sharded
 
 
+_PARALLEL_LOSS_CACHE: dict = {}
+
+
+def parallel_loss_cached(loss_fn: Callable, mesh: Mesh, batch: dict,
+                         axis: str = AXIS) -> Callable:
+    """make_parallel_loss with a stable identity: repeated calls with the same
+    (loss_fn, mesh, batch structure) return the SAME wrapper object, so
+    fit()'s jitted chunk (which keys its compile cache on the loss_fn object)
+    compiles once per continuation ramp instead of once per γ step."""
+    key = (loss_fn, mesh, axis,
+           tuple(sorted((k, tuple(jnp.shape(v))) for k, v in batch.items())))
+    fn = _PARALLEL_LOSS_CACHE.get(key)
+    if fn is None:
+        fn = make_parallel_loss(loss_fn, mesh, batch, axis)
+        _PARALLEL_LOSS_CACHE[key] = fn
+    return fn
+
+
 def make_parallel_step(loss_fn: Callable, optimizer, mesh: Mesh, batch: dict,
                        axis: str = AXIS) -> Callable:
     """Jitted full training step (loss + grad + optimizer update) with the

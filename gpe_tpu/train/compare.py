@@ -40,13 +40,15 @@ def train_single_model(spec: GPESpec, gamma: float, mode: int = 0,
                        tol: float = 1e-5, patience: int = 2000,
                        perturb_const: float = 0.01, lr: float = 1e-3,
                        seed: int = 42, pretrain_epochs: int = 2000,
-                       check_every: int = 512) -> MethodRun:
-    """One (method, γ, mode) training run with the reference budget."""
+                       check_every: int = 512, mesh=None) -> MethodRun:
+    """One (method, γ, mode) training run with the reference budget.
+
+    mesh enables collocation-sharded execution of the fit (see fit())."""
     spec = replace(spec, use_perturbation=use_perturbation)
     batch = make_batch(spec, mode)
     loss_fn = make_loss_fn(spec)
     from gpe_tpu.train.problem import make_fused_value_and_grad
-    fused_vag = make_fused_value_and_grad(spec)
+    fused_vag = None if mesh is not None else make_fused_value_and_grad(spec)
     params = mlp.init_mlp(jax.random.PRNGKey(seed), spec.layers, "xavier_uniform")
     if use_perturbation:
         target = np.asarray(base_triple(spec, mode, batch["x"]).value)
@@ -59,7 +61,7 @@ def train_single_model(spec: GPESpec, gamma: float, mode: int = 0,
     opt = make_optimizer("adam", cosine_warm_restarts(lr, 200, 2, 1e-6), clip_norm=1.0)
     res = fit(loss_fn, opt, params, batch, gamma, scale, epochs=epochs, tol=tol,
               patience=patience, check_every=check_every,
-              value_and_grad_fn=fused_vag)
+              value_and_grad_fn=fused_vag, mesh=mesh)
     return MethodRun(res.mu_best, res.best_loss, res.epochs_run, res.loss_history,
                      res.mu_history, res.params)
 
@@ -88,14 +90,19 @@ def train_multiple_runs(spec: GPESpec, gamma: float, mode: int = 0,
                         tol: float = 1e-5, patience: int = 2000,
                         perturb_const: float = 0.01, lr: float = 1e-3,
                         pretrain_epochs: int = 2000, check_every: int = 512,
-                        success_threshold: float | None = None) -> dict:
+                        success_threshold: float | None = None,
+                        mesh=None) -> dict:
     """Multi-seed statistical run, vmapped over seeds (reference protocol:
-    seeds 42+i, truncate-to-min histories, success filtering, median±std)."""
+    seeds 42+i, truncate-to-min histories, success filtering, median±std).
+
+    mesh shards the RUN axis across devices (ensemble parallelism; see
+    fit_ensemble) — n_runs should be a multiple of the mesh size."""
     spec = replace(spec, use_perturbation=use_perturbation)
     batch = make_batch(spec, mode)
     loss_fn = make_loss_fn(spec)
     # the fused Pallas gradient composes with vmap (pallas batching adds a
-    # grid dimension); verified to match per-run results exactly
+    # grid dimension); parity test: test_pallas_grad.py::
+    # test_fused_grad_vmap_matches_per_run
     from gpe_tpu.train.problem import make_fused_value_and_grad
     fused_vag = make_fused_value_and_grad(spec)
 
@@ -120,7 +127,8 @@ def train_multiple_runs(spec: GPESpec, gamma: float, mode: int = 0,
     opt = make_optimizer("adam", cosine_warm_restarts(lr, 200, 2, 1e-6), clip_norm=1.0)
     ens = fit_ensemble(loss_fn, opt, params_batch, batch, gamma, scale,
                        epochs=epochs, tol=tol, patience=patience,
-                       check_every=check_every, value_and_grad_fn=fused_vag)
+                       check_every=check_every, value_and_grad_fn=fused_vag,
+                       mesh=mesh)
 
     ok = np.ones(n_runs, dtype=bool)
     if success_threshold is not None:

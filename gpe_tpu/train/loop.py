@@ -125,7 +125,8 @@ def _init_carry(optimizer, params, epochs):
 def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
         batch, gamma, scale, epochs: int = 5001, tol: float = 1e-5,
         patience: int = 2000, check_every: int = 512,
-        scale_schedule=None, value_and_grad_fn: Callable = None) -> FitResult:
+        scale_schedule=None, value_and_grad_fn: Callable = None,
+        mesh=None) -> FitResult:
     """Train until convergence or `epochs`, reference early-stop semantics.
 
     loss_fn(params, batch, gamma, scale) -> (total, aux with 'mu').
@@ -136,7 +137,21 @@ def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
     `value_and_grad_fn` (same contract as jax.value_and_grad(loss_fn,
     has_aux=True)) swaps in a custom gradient — e.g. the fused Pallas
     training kernel (pallas/fused_grad.py, ~5× the XLA step on TPU).
+    `mesh` (jax.sharding.Mesh) turns on collocation-sharded data parallelism:
+    the loss (and the second-order optimizers' obj_fn closure) runs under
+    shard_map with psum quadrature reductions over ICI, collocation arrays
+    sharded on their leading axis, params replicated. Everything else —
+    chunked scan, early-stop carry, best-restore, optimizer extra-args —
+    is unchanged. Mutually exclusive with `value_and_grad_fn` (the fused
+    Pallas kernel computes global sums and is not psum-aware).
     """
+    if mesh is not None:
+        if value_and_grad_fn is not None:
+            raise ValueError("mesh and value_and_grad_fn are mutually "
+                             "exclusive (the fused kernel is not psum-aware)")
+        from gpe_tpu.parallel.mesh import parallel_loss_cached, shard_batch
+        loss_fn = parallel_loss_cached(loss_fn, mesh, batch)
+        batch = shard_batch(batch, mesh)
     gamma = jnp.asarray(gamma, jnp.float32)
     scale = jnp.asarray(scale, jnp.float32)
     # a chunk longer than the whole budget just burns masked device steps
@@ -196,7 +211,8 @@ def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
                  params_batch, batch, gamma, scale, epochs: int = 5001,
                  tol: float = 1e-5, patience: int = 2000,
                  check_every: int = 512,
-                 value_and_grad_fn: Callable = None) -> EnsembleFitResult:
+                 value_and_grad_fn: Callable = None,
+                 mesh=None) -> EnsembleFitResult:
     """vmapped multi-run training — R seeds (or modes) advance in ONE compiled
     program, turning the reference's sequential 5-seed loop
     (plot_box_potential_at_ground_state_multiple_runs.py:987-1053) into a
@@ -206,12 +222,24 @@ def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
     params_batch: pytree with leading run axis R on every leaf.
     scale: scalar, or a per-run (R,) vector — the reference protocol gives each
     seed its own q/normal_const perturbation scale.
+    `mesh` turns on ensemble (run-axis) device parallelism: params, optimizer
+    state, and per-run scalars shard across chips on the leading run axis
+    (the batch replicates), and XLA partitions the vmapped scan with no
+    cross-run communication — embarrassingly linear scaling over ICI.
+    R should be a multiple of the mesh size.
     """
     gamma = jnp.asarray(gamma, jnp.float32)
     scale = jnp.asarray(scale, jnp.float32)
+    # same clamp as fit(): a chunk longer than the budget burns masked steps
+    check_every = min(check_every, epochs)
     R = jax.tree.leaves(params_batch)[0].shape[0]
     if scale.ndim == 0:
         scale = jnp.full((R,), scale)
+    if mesh is not None:
+        from gpe_tpu.parallel.mesh import shard_ensemble
+        axis = mesh.axis_names[0]
+        params_batch = shard_ensemble(params_batch, mesh, axis)
+        scale = shard_ensemble(scale, mesh, axis)
     carry = jax.vmap(lambda p: _init_carry(optimizer, p, epochs))(params_batch)
 
     run_chunk = jax.vmap(

@@ -76,13 +76,16 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
                  lr: float = 1e-3, seed: int = 0, pretrain_epochs: int = 2000,
                  check_every: int = 512, keep_params: bool = True,
                  rebase: bool = False, checkpoint_path: str | None = None,
-                 verbose: bool = False) -> PLPINNResult:
+                 mesh=None, verbose: bool = False) -> PLPINNResult:
     """Run the PL-PINN continuation sweep. Reference-parity entry point.
 
     rebase=True enables incremental-base continuation (see _rebase) — same
     algorithmic family, dramatically better at large γ.
     checkpoint_path enables periodic mid-sweep checkpoint/resume: every
-    completed (mode, γ) step is persisted and skipped on restart."""
+    completed (mode, γ) step is persisted and skipped on restart.
+    mesh (jax.sharding.Mesh) runs every fit() with collocation-sharded data
+    parallelism (shard_map + psum quadrature over ICI); the fused Pallas
+    gradient is bypassed on the sharded path (not psum-aware)."""
     gs = [float(g) for g in gamma_values]
     # continuation ramps in |γ|: ascending for repulsive, descending for the
     # attractive (negative-γ) family (reference ..._negative_interaction_
@@ -91,7 +94,7 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
     loss_fn = make_loss_fn(spec)
     # fused Pallas training gradient on TPU when the spec qualifies (None →
     # fit() uses the standard jax.value_and_grad path)
-    fused_vag = make_fused_value_and_grad(spec)
+    fused_vag = None if mesh is not None else make_fused_value_and_grad(spec)
     ckpt = None
     if checkpoint_path:
         from gpe_tpu.io.checkpoint import SweepCheckpointer
@@ -153,7 +156,8 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
                     continue
             res = fit(loss_fn, optimizer, params, batch, gamma, scale,
                       epochs=epochs, tol=tol, patience=patience,
-                      check_every=check_every, value_and_grad_fn=fused_vag)
+                      check_every=check_every, value_and_grad_fn=fused_vag,
+                      mesh=mesh)
             # Warm-start from the restored best state (the reference loads
             # best_model_state before handing the model to the next γ,
             # harmonic_pinn_simulation.py:402-404,427).

@@ -64,6 +64,7 @@ class GPESpec:
     center: tuple = ()                      # disk center (default: domain center)
     radius: float = 0.0                     # disk radius (default: (ub−lb)/2)
     n_boundary: int = 256                   # rim probes for the disk geometry
+    mu_report_shift: float = 0.0            # C3 old-notebook λ+mode reporting
     dtype: any = jnp.float32
 
     def terms_cfg(self) -> GPETerms:
@@ -74,7 +75,8 @@ class GPESpec:
                         symmetry=self.symmetry if self.sym_weight > 0.0 else None,
                         use_riesz=use_riesz, anti_trivial=self.anti_trivial,
                         anti_trivial_c=self.anti_trivial_c,
-                        width_penalty=self.width_weight > 0.0)
+                        width_penalty=self.width_weight > 0.0,
+                        mu_report_shift=self.mu_report_shift)
 
     def loss_weights(self) -> dict:
         """name -> fixed weight for every active term (the reference's paper
@@ -335,6 +337,7 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 896,
           and spec.objective == "pde" and spec.weighting == "fixed"
           and spec.riesz_weight == 0.0 and spec.sym_weight == 0.0
           and not spec.anti_trivial and spec.width_weight == 0.0
+          and spec.mu_report_shift == 0.0
           and spec.pde_weight == 1.0 and spec.norm_style == "riemann"
           and spec.dtype == jnp.float32
           and spec.activation in ACTIVATION_QUADS

@@ -143,3 +143,98 @@ def test_full_fit_loop_under_collocation_sharding():
     np.testing.assert_allclose(np.asarray(jax.tree.leaves(got.params)[0]),
                                np.asarray(jax.tree.leaves(ref.params)[0]),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_fit_mesh_option_matches_single_device():
+    """fit(mesh=...) — the production trainer's own sharding switch — matches
+    the single-device trajectory (loss, μ, params) on the 8-device mesh."""
+    from gpe_tpu.models import mlp
+    from gpe_tpu.parallel import make_mesh
+    from gpe_tpu.train import GPESpec, fit, make_batch, make_loss_fn, make_optimizer
+
+    spec = GPESpec(lb=-6.0, ub=6.0, n_points=512, layers=(1, 12, 12, 1),
+                   potential="harmonic", basis="hermite",
+                   nonlinearity="abs_power", use_perturbation=True)
+    batch = make_batch(spec, 0)
+    loss_fn = make_loss_fn(spec)
+    params = mlp.init_mlp(jax.random.PRNGKey(0), spec.layers)
+    opt = make_optimizer("adam", 1e-3, clip_norm=1.0)
+    kw = dict(epochs=150, tol=-1.0, patience=10**9, check_every=64)
+
+    ref = fit(loss_fn, opt, params, batch, 1.0, 0.01, **kw)
+    got = fit(loss_fn, opt, params, batch, 1.0, 0.01, mesh=make_mesh(8), **kw)
+
+    np.testing.assert_allclose(got.loss_history, ref.loss_history,
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(got.mu_history, ref.mu_history, rtol=1e-4)
+    np.testing.assert_allclose(got.mu_best, ref.mu_best, rtol=1e-4)
+    for (wp, bp), (wr, br) in zip(got.params, ref.params):
+        np.testing.assert_allclose(np.asarray(wp), np.asarray(wr),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_fit_mesh_early_stop_and_second_order_extra_args():
+    """Early-stop carry and optimizer extra-args (sophia's obj_fn closure)
+    both work when the loss — and hence the closure — runs under shard_map."""
+    from gpe_tpu.models import mlp
+    from gpe_tpu.parallel import make_mesh
+    from gpe_tpu.train import GPESpec, fit, make_batch, make_loss_fn, make_optimizer
+
+    spec = GPESpec(lb=-6.0, ub=6.0, n_points=512, layers=(1, 12, 12, 1),
+                   potential="harmonic", basis="hermite",
+                   nonlinearity="abs_power", use_perturbation=True)
+    batch = make_batch(spec, 0)
+    loss_fn = make_loss_fn(spec)
+    params = mlp.init_mlp(jax.random.PRNGKey(0), spec.layers)
+    opt = make_optimizer("sophia", 1e-4)
+    res = fit(loss_fn, opt, params, batch, 0.0, 0.01, epochs=400,
+              tol=1e30, patience=10**9, check_every=100, mesh=make_mesh(8))
+    # tol=1e30 -> stops in the first chunk with the early-stop machinery
+    assert res.epochs_run <= 100
+    assert np.isfinite(res.best_loss)
+
+
+def test_fit_ensemble_mesh_matches_unsharded():
+    from gpe_tpu.models import mlp
+    from gpe_tpu.parallel import make_mesh
+    from gpe_tpu.train import GPESpec, make_batch, make_loss_fn, make_optimizer
+    from gpe_tpu.train.loop import fit_ensemble
+
+    spec = GPESpec(lb=-6.0, ub=6.0, n_points=256, layers=(1, 8, 8, 1),
+                   potential="harmonic", basis="hermite",
+                   nonlinearity="abs_power", use_perturbation=False)
+    batch = make_batch(spec, 0)
+    loss_fn = make_loss_fn(spec)
+    R = 8
+    params_b = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[mlp.init_mlp(jax.random.PRNGKey(s), spec.layers) for s in range(R)])
+    opt = make_optimizer("adam", 1e-3, clip_norm=1.0)
+    kw = dict(epochs=120, tol=-1.0, patience=10**9, check_every=60)
+
+    ref = fit_ensemble(loss_fn, opt, params_b, batch, 1.0, 1.0, **kw)
+    got = fit_ensemble(loss_fn, opt, params_b, batch, 1.0, 1.0,
+                       mesh=make_mesh(8, axis="ens"), **kw)
+    # different GSPMD layouts reorder f32 reductions; tiny per-step noise
+    # amplifies along the trajectory — tolerances sized accordingly
+    np.testing.assert_allclose(got.loss_history, ref.loss_history,
+                               rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(got.mu, ref.mu, rtol=5e-3)
+
+
+def test_train_plpinn_sharded_ramp():
+    """The full PL-PINN continuation trainer (pretrain, q-scaling, warm start,
+    early stop) over a 2-step γ ramp on the 8-device mesh ≈ single device."""
+    from gpe_tpu.parallel import make_mesh
+    from gpe_tpu.train import GPESpec, train_plpinn
+
+    spec = GPESpec(lb=-8.0, ub=8.0, n_points=512, layers=(1, 16, 16, 1),
+                   activation="tanh", potential="harmonic", basis="hermite",
+                   nonlinearity="power", use_perturbation=True)
+    kw = dict(gamma_values=[0.0, 1.0], modes=(0,), epochs=600, tol=1e-6,
+              patience=10**9, pretrain_epochs=500, check_every=300, seed=3)
+    ref = train_plpinn(spec, **kw)
+    got = train_plpinn(spec, mesh=make_mesh(8), **kw)
+    for (g_r, mu_r), (g_s, mu_s) in zip(ref.mu_table[0], got.mu_table[0]):
+        assert g_r == g_s
+        np.testing.assert_allclose(mu_s, mu_r, rtol=5e-4)
