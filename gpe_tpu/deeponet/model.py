@@ -69,14 +69,18 @@ def deeponet_vgl(params, v_samples, x, activation: str = "tanh"):
 
 def make_potential_family_batch(spec: DeepONetSpec, n_functions: int = 64,
                                 family: str = "scaled_harmonic", seed: int = 0,
-                                beta_range=(0.5, 2.0)) -> dict:
+                                beta_range=(0.5, 2.0), betas=None) -> dict:
     """Sample a family of potentials: sensor values (for the branch) and
-    collocation values (for the residual)."""
+    collocation values (for the residual).
+
+    `betas` (scaled_harmonic only) pins the family parameters explicitly —
+    used for held-out evaluation grids."""
     rng = np.random.default_rng(seed)
     xs = np.linspace(spec.lb, spec.ub, spec.n_sensors)
     xc = np.linspace(spec.lb, spec.ub, spec.n_points)
     if family == "scaled_harmonic":
-        betas = rng.uniform(*beta_range, size=(n_functions,))
+        betas = (np.asarray(betas, np.float64) if betas is not None
+                 else rng.uniform(*beta_range, size=(n_functions,)))
         Vs = betas[:, None] * xs[None, :] ** 2
         Vc = betas[:, None] * xc[None, :] ** 2
         meta = betas
@@ -178,3 +182,44 @@ def train_deeponet(spec: DeepONetSpec, gamma: float = 0.0, epochs: int = 5000,
               patience=10**9, check_every=check_every)
     _, aux = loss_fn(res.params, batch, jnp.float32(gamma), jnp.float32(1.0))
     return DeepONetResult(res.params, np.asarray(aux["mu_per_fn"]), res.loss_history)
+
+
+def evaluate_deeponet(spec: DeepONetSpec, params, betas, gamma: float = 0.0):
+    """Held-out generalization evaluation on UNSEEN potentials V=βx²: one
+    forward pass per β (no training), μ and wavefunction error vs the float64
+    Newton-continuation FDM oracle (the reference DeepONet notebook evaluates
+    on held-out potentials, Gross_Pitaevskii_1D_Physics_Informed_DeepONet
+    .ipynb cell 11).
+
+    Returns a list of per-β dicts: {beta, mu_pred, mu_ref, mu_abs_err,
+    psi_l2_err} plus the (B, N) predicted wavefunctions and the x grid."""
+    from gpe_tpu.validate.fdm import solve_gpe_excited_1d
+
+    betas = [float(b) for b in betas]
+    batch = make_potential_family_batch(spec, len(betas), "scaled_harmonic",
+                                        betas=betas)
+    u, lap = deeponet_vgl(params, batch["v_sensors"], batch["x"],
+                          spec.activation)
+    V = batch["V"]
+    hu = hamiltonian_apply(u, lap, V, jnp.float32(gamma), spec.p, spec.kinetic,
+                           spec.nonlinearity)
+    den = jnp.sum(u * u, axis=1)
+    mu = np.asarray(jnp.sum(u * hu, axis=1) / (den + 1e-12))
+
+    x = np.asarray(batch["x"][:, 0], np.float64)
+    dx = x[1] - x[0]
+    u_np = np.asarray(u, np.float64)
+    rows = []
+    for i, b in enumerate(betas):
+        mu_ref, psi_ref = solve_gpe_excited_1d(b * x ** 2, dx, float(gamma), 0,
+                                               kinetic=spec.kinetic, p=spec.p,
+                                               nonlinearity=spec.nonlinearity)
+        psi = u_np[i] / np.sqrt(np.sum(u_np[i] ** 2) * dx)
+        psi_ref_n = psi_ref / np.sqrt(np.sum(psi_ref ** 2) * dx)
+        if np.sum(psi * psi_ref_n) < 0:
+            psi = -psi
+        rows.append({"beta": b, "mu_pred": float(mu[i]), "mu_ref": float(mu_ref),
+                     "mu_abs_err": float(abs(mu[i] - mu_ref)),
+                     "psi_l2_err": float(np.sqrt(
+                         np.sum((psi - psi_ref_n) ** 2) * dx))})
+    return rows, u_np, x

@@ -82,6 +82,12 @@ _register(ExperimentConfig(
     spec=_PAPER_1D, gamma_values=tuple(-0.5 * k for k in range(81)), modes=(0,)))
 
 _register(ExperimentConfig(
+    name="deeponet_harmonic",                    # B6 operator learning:
+    # V=βx² family → ψ; held-out-β generalization vs the FDM oracle
+    # (Gross_Pitaevskii_1D_Physics_Informed_DeepONet.ipynb cells 3,9,11)
+    spec=_PAPER_1D, gamma_values=(1.0,), epochs=6000, algorithm="deeponet"))
+
+_register(ExperimentConfig(
     name="plpinn_sharded_dp",                    # production sharded execution:
     # the paper 1D spec trained with collocation points sharded over every
     # local device (4000 pts / 8 chips = 500/shard; quadrature = psum on ICI)

@@ -63,6 +63,15 @@ def _families():
             spec=GPESpec(lb=-10.0, ub=10.0, potential="harmonic",
                          basis="hermite", p=16.0, **paper),
             modes=(0,), checkpoints=CHECKPOINTS),
+        # the reference's hardest family (vanilla error 9.11e+02): gaussian
+        # bump V=exp(−x²/2) on the unit box, box basis + hard BC
+        # (vary_potential_parameter_box_and_gaussian.py:141-151 potential,
+        # comparison_results_p3_gaussian/ artifacts)
+        "p3_gaussian": dict(
+            spec=GPESpec(lb=0.0, ub=1.0, potential="gaussian",
+                         potential_kwargs=(("sigma", 1.0),), basis="box",
+                         hard_bc=True, p=3.0, **paper),
+            modes=(0,), checkpoints=CHECKPOINTS),
     }
 
 
@@ -114,6 +123,7 @@ def _lm_polish_mus(spec, mode, checkpoints, pl_result, normal_const,
 def run_family(family: str, out_dir: str, epochs: int = 5001,
                tol: float = 1e-5, patience: int = 2000,
                ramp_step: float = 0.5, seed: int = 42,
+               lr_mode: str = "loss_faithful",
                verbose: bool = True) -> dict:
     import jax
     import numpy as np
@@ -123,7 +133,7 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
     jax.config.update("jax_default_matmul_precision", "highest")
 
     from gpe_tpu.train import train_plpinn
-    from gpe_tpu.train.compare import train_single_model
+    from gpe_tpu.train.compare import train_curriculum_ramp, train_single_model
     from gpe_tpu.utils.metrics import write_error_table
 
     fam = _families()[family]
@@ -147,19 +157,19 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
         # PL-PINN: one continuation ramp, μ read off at the checkpoints
         pl = train_plpinn(spec, ramp, modes=(mode,), epochs=epochs, tol=tol,
                           patience=patience, seed=seed, keep_params=True,
-                          verbose=False)
+                          lr_mode=lr_mode, verbose=False)
         pl_mu = dict(pl.mu_table[mode])
         # PL-PINN + Levenberg-Marquardt residual polish (ours, beyond the
         # reference): second-order least-squares refinement of the
         # perturbation-ansatz residual from the converged PL-PINN state
         lm_mu = _lm_polish_mus(spec, mode, checkpoints, pl,
                                pl.constant_history[mode])
-        # Curriculum: warm-started ramp over checkpoints, no perturbation
-        cur = train_plpinn(replace(spec, use_perturbation=False), checkpoints,
-                           modes=(mode,), epochs=epochs, tol=tol,
-                           patience=patience, seed=seed, keep_params=False,
-                           verbose=False)
-        cur_mu = dict(cur.mu_table[mode])
+        # Curriculum: direct net pretrained on the analytic base, then
+        # warm-started across the checkpoint ramp (the reference artifact's
+        # protocol — see train_curriculum_ramp)
+        cur_mu = train_curriculum_ramp(spec, checkpoints, mode, epochs=epochs,
+                                       tol=tol, patience=patience, seed=seed,
+                                       lr_mode=lr_mode)
 
         per_method_errs = {"PL-PINN": [], "PL-PINN+LM": [],
                            "Curriculum Training": [], "Vanilla PINN": []}
@@ -229,9 +239,12 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     ap.add_argument("--epochs", type=int, default=5001)
     ap.add_argument("--ramp-step", type=float, default=0.5)
+    ap.add_argument("--lr-mode", default="loss_faithful",
+                    choices=("loss_faithful", "cosine", "constant"))
     args = ap.parse_args(argv)
     out = args.out or f"runs/comparison_results_{args.family}"
-    run_family(args.family, out, epochs=args.epochs, ramp_step=args.ramp_step)
+    run_family(args.family, out, epochs=args.epochs, ramp_step=args.ramp_step,
+               lr_mode=args.lr_mode)
     return 0
 
 

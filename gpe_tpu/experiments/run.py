@@ -318,6 +318,55 @@ def main(argv=None):
                                       patience=cfg.patience)
                 emit({"gamma": g, **{m: {"mu": d["mu"], "loss": d["best_loss"]}
                                      for m, d in out.items()}})
+    elif cfg.algorithm == "deeponet":
+        # B6 end-to-end: train the V↦ψ operator on a sampled potential
+        # family, then evaluate generalization on HELD-OUT potentials vs the
+        # f64 FDM oracle (reference notebook cells 9, 11)
+        import numpy as np
+
+        from gpe_tpu.deeponet.model import (DeepONetSpec, evaluate_deeponet,
+                                            train_deeponet)
+        dspec = DeepONetSpec(p=cfg.spec.p if cfg.spec else 3.0)
+        gamma = cfg.gamma_values[0]
+        res = train_deeponet(dspec, gamma=gamma, epochs=cfg.epochs,
+                             n_functions=64, seed=cfg.seed)
+        # held-out β grid: strictly between training samples, incl. mild
+        # extrapolation at both ends
+        test_betas = [0.45, 0.6, 0.77, 0.93, 1.11, 1.34, 1.58, 1.83, 2.1]
+        rows, u_pred, x = evaluate_deeponet(dspec, res.params, test_betas,
+                                            gamma)
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            viz.use_publication_style()
+            fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+            axes[0].plot([r["beta"] for r in rows],
+                         [r["mu_ref"] for r in rows], "k-", label="FDM oracle")
+            axes[0].plot([r["beta"] for r in rows],
+                         [r["mu_pred"] for r in rows], "o", ms=5,
+                         label="DeepONet")
+            axes[0].set_xlabel(r"$\beta$"); axes[0].set_ylabel(r"$\mu$")
+            axes[0].legend(); axes[0].set_title("held-out potentials")
+            for i in (0, len(rows) // 2, len(rows) - 1):
+                dxg = x[1] - x[0]
+                psi = u_pred[i] / np.sqrt(np.sum(u_pred[i] ** 2) * dxg)
+                axes[1].plot(x, np.abs(psi),
+                             label=rf"$\beta$={rows[i]['beta']:.2f}")
+            axes[1].set_xlabel("x"); axes[1].set_ylabel(r"$|\psi|$")
+            axes[1].legend()
+            fig.tight_layout()
+            fig.savefig(os.path.join(out_dir, "deeponet_heldout.png"), dpi=200)
+            plt.close(fig)
+        except Exception as e:
+            print(f"deeponet plot skipped: {e}")
+        emit({"experiment": cfg.name, "gamma": gamma,
+              "train_mu_range": [float(res.mu_per_fn.min()),
+                                 float(res.mu_per_fn.max())],
+              "heldout": rows,
+              "heldout_max_mu_err": max(r["mu_abs_err"] for r in rows),
+              "heldout_max_psi_l2": max(r["psi_l2_err"] for r in rows),
+              "wall_s": round(time.time() - t0, 1)})
     else:
         raise SystemExit(f"unknown algorithm {cfg.algorithm}")
     if records:

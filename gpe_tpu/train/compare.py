@@ -40,10 +40,12 @@ def train_single_model(spec: GPESpec, gamma: float, mode: int = 0,
                        tol: float = 1e-5, patience: int = 2000,
                        perturb_const: float = 0.01, lr: float = 1e-3,
                        seed: int = 42, pretrain_epochs: int = 2000,
-                       check_every: int = 512, mesh=None) -> MethodRun:
+                       check_every: int = 512, mesh=None,
+                       lr_mode: str = "loss_faithful") -> MethodRun:
     """One (method, γ, mode) training run with the reference budget.
 
-    mesh enables collocation-sharded execution of the fit (see fit())."""
+    mesh enables collocation-sharded execution of the fit (see fit());
+    lr_mode selects the ramp LR behavior (see plpinn.ramp_optimizer)."""
     spec = replace(spec, use_perturbation=use_perturbation)
     batch = make_batch(spec, mode)
     loss_fn = make_loss_fn(spec)
@@ -58,12 +60,69 @@ def train_single_model(spec: GPESpec, gamma: float, mode: int = 0,
         scale = perturb_const / const
     else:
         scale = 1.0
-    opt = make_optimizer("adam", cosine_warm_restarts(lr, 200, 2, 1e-6), clip_norm=1.0)
+    from gpe_tpu.train.plpinn import ramp_optimizer
+    opt = ramp_optimizer(lr, lr_mode)
     res = fit(loss_fn, opt, params, batch, gamma, scale, epochs=epochs, tol=tol,
               patience=patience, check_every=check_every,
               value_and_grad_fn=fused_vag, mesh=mesh)
     return MethodRun(res.mu_best, res.best_loss, res.epochs_run, res.loss_history,
                      res.mu_history, res.params)
+
+
+def train_curriculum_ramp(spec: GPESpec, gammas, mode: int = 0,
+                          epochs: int = 5001, tol: float = 1e-5,
+                          patience: int = 2000, lr: float = 1e-3,
+                          seed: int = 42, pretrain_epochs: int = 2000,
+                          check_every: int = 512,
+                          lr_mode: str = "loss_faithful") -> dict:
+    """The reference comparison tables' "Curriculum Training" baseline:
+    a DIRECT net (no perturbation ansatz, no q-scaling) pretrained on the
+    analytic base eigenfunction, then warm-started across the checkpoint
+    γ-ramp with the same per-γ budget as the other methods.
+
+    Protocol inferred from the committed artifact
+    comparison_results_p3_harmonic/curriculum_pinn_models_p3_harmonic.pkl
+    (keys: curriculum_state_dicts[mode][γ∈{0,20,..,100}],
+    curriculum_constants=None → no perturbation scaling) — no generating
+    script is committed; the per-γ trainer matches
+    plot_harmonic_potential_at_ground_state.py:1060-1166 with
+    use_perturbation=False plus cross-γ warm starting.
+
+    Returns {gamma: mu_best}.
+    """
+    spec = replace(spec, use_perturbation=False)
+    batch = make_batch(spec, mode)
+    loss_fn = make_loss_fn(spec)
+    from gpe_tpu.train.plpinn import ramp_optimizer
+    from gpe_tpu.train.problem import make_fused_value_and_grad
+    fused_vag = make_fused_value_and_grad(spec)
+    params = mlp.init_mlp(jax.random.PRNGKey(seed), spec.layers,
+                          "xavier_uniform")
+    # pretrain the COMPLETE solution to the analytic base (γ=0 start); for
+    # hard-BC specs that means net × sine factor, so pretrain through the
+    # ansatz rather than the raw net
+    target = np.asarray(base_triple(spec, mode, batch["x"]).value)
+    apply_fn = None
+    if spec.hard_bc:
+        from gpe_tpu.models.ansatz import box_sine_factor
+        factor = box_sine_factor(spec.lb, spec.ub)
+
+        def apply_fn(p, x, act):
+            return mlp.mlp_apply(p, x, act) * factor(x).value
+    params, _ = pretrain_to_base(params, batch["x"], target, spec.activation,
+                                 epochs=pretrain_epochs, apply_fn=apply_fn)
+    opt = ramp_optimizer(lr, lr_mode)
+    out = {}
+    gs = [float(g) for g in gammas]
+    # ramp in |γ|: descending for the attractive (negative-γ) family
+    gs = sorted(gs, reverse=all(g <= 0 for g in gs) and any(g < 0 for g in gs))
+    for g in gs:
+        res = fit(loss_fn, opt, params, batch, g, 1.0, epochs=epochs, tol=tol,
+                  patience=patience, check_every=check_every,
+                  value_and_grad_fn=fused_vag)
+        params = res.params          # warm start (restored best state)
+        out[g] = res.mu_best
+    return out
 
 
 def compare_methods(spec: GPESpec, gamma: float, mode: int = 0,

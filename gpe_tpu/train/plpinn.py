@@ -28,7 +28,39 @@ from gpe_tpu.train.optimizers import make_optimizer
 from gpe_tpu.train.pretrain import pretrain_to_base
 from gpe_tpu.train.problem import (GPESpec, base_triple, make_batch,
                                    make_fused_value_and_grad, make_loss_fn)
-from gpe_tpu.train.schedules import cosine_warm_restarts
+from gpe_tpu.train.schedules import cosine_warm_restarts, scale_by_loss_as_step
+
+
+def ramp_optimizer(lr: float = 1e-3, lr_mode: str = "loss_faithful"):
+    """The continuation-ramp optimizer: Adam + grad-clip 1.0 + the reference's
+    LR behavior, selected by lr_mode:
+
+    - "loss_faithful" (default): the reference's ACTUAL effective schedule —
+      `scheduler.step(total_loss)` feeds the loss to
+      CosineAnnealingWarmRestarts as the epoch, which pins the LR at ≈ base_lr
+      once loss < 1 (see schedules.scale_by_loss_as_step). A/B on harmonic
+      modes 0–5 showed this matches the reference's published 6-8e-5 errors
+      while the corrected cosine schedule stalls at 3e-4..2e-3 on modes 2–5
+      (VERDICT r1 weak #1).
+    - "cosine": the schedule the reference AUTHORED (corrected
+      CosineAnnealingWarmRestarts over epochs, T₀=200, T_mult=2).
+    - "constant": plain constant LR.
+    """
+    import optax
+    if lr_mode == "cosine":
+        return make_optimizer(
+            "adam", cosine_warm_restarts(lr, T_0=200, T_mult=2, eta_min=1e-6),
+            clip_norm=1.0)
+    if lr_mode == "loss_faithful":
+        # reference order: backward → clip_grad_norm_(1.0) → Adam step;
+        # LR applied from the current loss value
+        sched = cosine_warm_restarts(lr, T_0=200, T_mult=2, eta_min=1e-6)
+        return optax.chain(optax.clip_by_global_norm(1.0),
+                           optax.scale_by_adam(),
+                           scale_by_loss_as_step(sched))
+    if lr_mode == "constant":
+        return make_optimizer("adam", lr, clip_norm=1.0)
+    raise ValueError(f"unknown lr_mode {lr_mode!r}")
 
 
 class PLPINNResult(NamedTuple):
@@ -76,7 +108,8 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
                  lr: float = 1e-3, seed: int = 0, pretrain_epochs: int = 2000,
                  check_every: int = 512, keep_params: bool = True,
                  rebase: bool = False, checkpoint_path: str | None = None,
-                 mesh=None, verbose: bool = False) -> PLPINNResult:
+                 mesh=None, lr_mode: str = "loss_faithful",
+                 verbose: bool = False) -> PLPINNResult:
     """Run the PL-PINN continuation sweep. Reference-parity entry point.
 
     rebase=True enables incremental-base continuation (see _rebase) — same
@@ -140,9 +173,7 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
         # ONE optimizer object for the whole ramp: optimizer state is re-init
         # inside fit() per γ (reference: fresh Adam each γ), while the jit
         # cache keys on the optimizer object — reuse avoids a recompile per γ.
-        optimizer = make_optimizer(
-            "adam", cosine_warm_restarts(lr, T_0=200, T_mult=2, eta_min=1e-6),
-            clip_norm=1.0)
+        optimizer = ramp_optimizer(lr, lr_mode)
         for gamma in gamma_values:
             if ckpt is not None and gamma in done_gammas:
                 saved = ckpt.get(f"{mode}:{gamma!r}")

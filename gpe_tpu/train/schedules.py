@@ -42,3 +42,32 @@ def cosine_warm_restarts(base_lr: float, T_0: int = 200, T_mult: int = 2,
 def cosine_annealing(base_lr: float, T_max: int, eta_min: float = 1e-5):
     """torch CosineAnnealingLR twin (reference: T_max=epochs/10, η_min=1e−5)."""
     return optax.cosine_decay_schedule(base_lr, T_max, alpha=eta_min / base_lr)
+
+
+def scale_by_loss_as_step(schedule):
+    """Bug-faithful twin of the reference's `scheduler.step(total_loss)`
+    (harmonic_pinn_simulation.py:361): torch's CosineAnnealingWarmRestarts
+    treats the float argument as the EPOCH, so the effective learning rate is
+    the warm-restart schedule evaluated at the current LOSS VALUE — once the
+    loss drops below ~1 (≪ T₀=200) that is ≈ max LR forever, warm restarts
+    effectively never firing. Reproduced exactly as an optax transform that
+    reads the per-step loss from the `value` extra arg (fit() supplies it)
+    and applies -schedule(loss) as the step size.
+
+    Compose AFTER the preconditioner: chain(scale_by_adam, this).
+    """
+    import jax
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None, *, value=None, **extra):
+        del params, extra
+        if value is None:
+            raise ValueError("scale_by_loss_as_step needs the `value` extra "
+                             "arg (the per-step loss); fit() provides it")
+        lr = schedule(jnp.asarray(value, jnp.float32))
+        return jax.tree.map(lambda g: -lr * g, updates), state
+
+    return optax.GradientTransformationExtraArgs(init, update)

@@ -41,3 +41,21 @@ def test_deeponet_learns_scaled_harmonic_family():
     mu_exact = np.sqrt(betas)
     err = np.abs(res.mu_per_fn - mu_exact)
     assert np.median(err) < 0.1
+
+
+def test_evaluate_deeponet_heldout_shapes_and_oracle():
+    """Held-out evaluation runs a pure forward pass on unseen β and compares
+    against the FDM oracle (finite numbers, correctly keyed rows)."""
+    import jax
+    from gpe_tpu.deeponet.model import (DeepONetSpec, evaluate_deeponet,
+                                        init_deeponet)
+    spec = DeepONetSpec(n_points=128, n_sensors=32,
+                        branch_layers=(16, 16, 8), trunk_layers=(1, 16, 8))
+    params = init_deeponet(jax.random.PRNGKey(0), spec)
+    rows, u, x = evaluate_deeponet(spec, params, [0.8, 1.5], gamma=0.0)
+    assert [r["beta"] for r in rows] == [0.8, 1.5]
+    assert u.shape == (2, 128) and x.shape == (128,)
+    for r in rows:
+        assert np.isfinite(r["mu_pred"]) and np.isfinite(r["psi_l2_err"])
+        # oracle itself is exact: linear ground state of βx² has μ=√β·1
+        assert abs(r["mu_ref"] - np.sqrt(r["beta"])) < 5e-3
