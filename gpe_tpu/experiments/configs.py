@@ -32,6 +32,8 @@ class ExperimentConfig:
     mu_exact_fn: str | None = None       # oracle for error tables
     use_mesh: bool = False               # run fit() under collocation-sharded
     # data parallelism on all local devices (shard_map + psum over ICI)
+    lm_polish: bool = False              # LM residual polish at the final γ
+    # of each mode's ramp (train/gauss_newton.py)
 
 
 def _gammas(n: int, step: float = 0.5, start: float = 0.0):
@@ -152,7 +154,7 @@ _register(ExperimentConfig(
                  basis="hermite", kinetic=0.5, nonlinearity="abs_power",
                  bc_weight=10.0, norm_weight=20.0),
     gamma_values=(0.0, 5.0, 10.0, 20.0, 35.0, 50.0, 70.0, 100.0),
-    epochs=8000, rebase=True))
+    epochs=8000, rebase=True, lm_polish=True))
 
 _register(ExperimentConfig(
     name="gpe2d_circle",                         # gross_pitaevskii_2D.py:277-295

@@ -127,12 +127,15 @@ def main(argv=None):
             print(f"mesh: {len(mesh.devices.flat)} devices, "
                   f"{cfg.spec.n_points ** cfg.spec.dim} collocation points "
                   f"sharded on axis {mesh.axis_names[0]!r}")
+        polished = None
         if (args.train or not os.path.exists(bundle_path)) and not args.plots:
             res = train_plpinn(cfg.spec, cfg.gamma_values, cfg.modes,
                                epochs=cfg.epochs, tol=cfg.tol, patience=cfg.patience,
                                perturb_const=cfg.perturb_const, lr=cfg.lr,
                                seed=cfg.seed, pretrain_epochs=cfg.pretrain_epochs,
-                               rebase=cfg.rebase, mesh=mesh, verbose=True)
+                               rebase=cfg.rebase, mesh=mesh,
+                               lm_polish=cfg.lm_polish, verbose=True)
+            polished = res.polished
             save_bundle(bundle_path, res, cfg.spec)
         bundle = load_bundle(bundle_path)
         viz.use_publication_style()
@@ -143,9 +146,33 @@ def main(argv=None):
             _plot_wavefunctions_from_bundle(cfg, bundle, out_dir, viz)
         except Exception as e:       # plotting must never fail a run
             print(f"wavefunction plot skipped: {e}")
+        extra = {}
+        if mesh:
+            extra["mesh_devices"] = len(mesh.devices.flat)
+        if polished:
+            extra["lm_polished"] = polished
+            # opportunistic oracle error for the 2D harmonic flagship family
+            if (cfg.spec.dim == 2 and cfg.spec.potential == "harmonic"
+                    and not cfg.spec.hard_bc):
+                try:
+                    import numpy as np
+
+                    from gpe_tpu.validate.imaginary_time import imaginary_time_gpe
+                    a = dict(cfg.spec.potential_kwargs).get("a", 1.0)
+                    x1 = np.linspace(cfg.spec.lb, cfg.spec.ub, 384)
+                    X, Y = np.meshgrid(x1, x1, indexing="ij")
+                    for m, pol in polished.items():
+                        mu_ref, _ = imaginary_time_gpe(
+                            a * (X**2 + Y**2), x1[1] - x1[0],
+                            float(pol["gamma"]), kinetic=cfg.spec.kinetic,
+                            p=cfg.spec.p, tau=2e-3, richardson=2)
+                        pol["mu_ref"] = float(mu_ref)
+                        pol["mu_abs_err"] = abs(pol["mu"] - float(mu_ref))
+                except Exception as e:
+                    print(f"oracle eval skipped: {e}")
         emit({"experiment": cfg.name,
               "mu_table_tail": {str(m): v[-1] for m, v in bundle["mu_table"].items()},
-              **({"mesh_devices": len(mesh.devices.flat)} if mesh else {}),
+              **extra,
               "wall_s": round(time.time() - t0, 1)})
     elif cfg.algorithm == "two_stage":
         res = train_two_stage(cfg.spec, cfg.beta_values, cfg.gamma_values,

@@ -16,8 +16,12 @@ two fused passes, both VMEM-resident:
            the scalar cotangents c = ∂L/∂S (μ-dependence handled exactly via
            the S₁²/S₂ form);
   pass 2 — a recompute-and-reverse kernel: per row-tile it re-runs the
-           forward-Laplacian recursion storing each layer's INPUT channel
-           state (value, d Jacobian rows, Laplacian), forms the pointwise
+           forward-Laplacian recursion storing each hidden layer's
+           PRE-ACTIVATION channel state (z, d Jacobian rows jz, Laplacian
+           lz) — the reverse sweep recovers the layer INPUTS from the
+           previous layer's stored pre-activations with elementwise σ
+           evaluations instead of re-running the C GEMMs per layer the
+           earlier input-storing variant needed — then forms the pointwise
            cotangents
                h̄u = 2c₀·Hu + c₁·u,
                ū  = c₁·Hu + 2c₂·u + 2c₃·w·u + h̄u·(V + γ·∂ₙₗ),
@@ -61,12 +65,17 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                                bc_weight: float = 10.0,
                                norm_weight: float = 20.0,
                                tile: int = 896, sum_tile: int = 1792,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               compute_dtype=jnp.float32):
     """Build vag(params, batch, gamma, scale) -> ((total, aux), grads) with
     the same contract as jax.value_and_grad(make_loss_fn(spec), has_aux=True)
     for a vanilla-ansatz GPESpec. `tile` is the backward row-tile (smaller
     than the eval tile: the backward stores 4 channel arrays per layer in
-    VMEM); `sum_tile` is pass 1's tile."""
+    VMEM); `sum_tile` is pass 1's tile.
+    compute_dtype=bf16 runs every GEMM in both passes at the MXU bf16 rate
+    with f32 accumulation — gradients then agree with the f32 XLA path only
+    to bf16 precision (~1e-2 relative on small components), so it is opt-in;
+    the default keeps exact-parity f32 GEMMs."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -77,7 +86,8 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
 
     ev = make_pallas_loss_eval(layers, activation, p, kinetic, nonlinearity,
                                bc_weight=bc_weight, norm_weight=norm_weight,
-                               tile=sum_tile, interpret=interpret)
+                               tile=sum_tile, interpret=interpret,
+                               compute_dtype=compute_dtype)
     collocation_sums = ev.collocation_sums
 
     def kernel(scal_ref, x_ref, V_ref, w_ref, bval_ref, blap_ref, *rest):
@@ -87,26 +97,30 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         gamma, scale = scal_ref[0, 0], scal_ref[0, 1]
         c0, c1 = scal_ref[0, 2], scal_ref[0, 3]
         c2, c3 = scal_ref[0, 4], scal_ref[0, 5]
+        cast = lambda a: a.astype(compute_dtype)
 
         T = x_ref.shape[0]
         d_pad = x_ref.shape[1]
         col = jax.lax.broadcasted_iota(jnp.int32, (T, d_pad), 1)
 
-        # ---- forward, storing each layer's INPUT channel state ------------
+        # ---- forward, storing each hidden layer's PRE-ACTIVATION state ----
+        # (z, jz rows, lz). The reverse sweep recovers layer inputs from the
+        # previous layer's stored pre-activations with elementwise σ evals —
+        # no recompute GEMMs.
         v = x_ref[...]
         jac = [(col == k).astype(jnp.float32) for k in range(d)]
         lp = jnp.zeros((T, d_pad), jnp.float32)
-        vin, jin, lin = [], [], []
+        zs, jzs, lzs = [], [], []
         for li in range(n_layers):
             W = wrefs[2 * li][...]
             b = wrefs[2 * li + 1][...]
-            vin.append(v)
-            jin.append(jac)
-            lin.append(lp)
-            z = jnp.dot(v, W, preferred_element_type=jnp.float32) + b
-            jz = [jnp.dot(j, W, preferred_element_type=jnp.float32)
+            z = jnp.dot(cast(v), W, preferred_element_type=jnp.float32) + b
+            jz = [jnp.dot(cast(j), W, preferred_element_type=jnp.float32)
                   for j in jac]
-            lz = jnp.dot(lp, W, preferred_element_type=jnp.float32)
+            lz = jnp.dot(cast(lp), W, preferred_element_type=jnp.float32)
+            zs.append(z)
+            jzs.append(jz)
+            lzs.append(lz)
             if li < n_layers - 1:
                 s0, s1, s2, _ = quad(z)
                 g2 = jz[0] * jz[0]
@@ -115,6 +129,19 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                 v, jac, lp = s0, [s1 * j for j in jz], s1 * lz + s2 * g2
             else:
                 v, lp = z, lz          # final layer is linear
+
+        def layer_inputs(li):
+            """(vin, jin, lin) of layer li, from stored pre-activations."""
+            if li == 0:
+                x0 = x_ref[...]
+                j0 = [(col == k).astype(jnp.float32) for k in range(d)]
+                return x0, j0, jnp.zeros((T, d_pad), jnp.float32)
+            zp, jzp, lzp = zs[li - 1], jzs[li - 1], lzs[li - 1]
+            s0, s1, s2, _ = quad(zp)
+            g2 = jzp[0] * jzp[0]
+            for j in jzp[1:]:
+                g2 = g2 + j * j
+            return s0, [s1 * j for j in jzp], s1 * lzp + s2 * g2
 
         # ---- pointwise cotangents -----------------------------------------
         u = bval_ref[...] + scale * v[:, 0:1]     # perturbation ansatz: the
@@ -141,13 +168,9 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
 
         for li in range(n_layers - 1, -1, -1):
             W = wrefs[2 * li][...]
+            vin, jin, lin = layer_inputs(li)
             if li < n_layers - 1:
-                # recompute this layer's pre-activation state
-                z = (jnp.dot(vin[li], W, preferred_element_type=jnp.float32)
-                     + wrefs[2 * li + 1][...])
-                jz = [jnp.dot(j, W, preferred_element_type=jnp.float32)
-                      for j in jin[li]]
-                lz = jnp.dot(lin[li], W, preferred_element_type=jnp.float32)
+                z, jz, lz = zs[li], jzs[li], lzs[li]
                 _, s1, s2, s3 = quad(z)
                 jj = jz[0] * j_bar[0]
                 g2 = jz[0] * jz[0]
@@ -163,12 +186,12 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                 jz_bar = None
 
             cT = lambda a, b_: jax.lax.dot_general(
-                a, b_, (((0,), (0,)), ((), ())),
+                cast(a), cast(b_), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            dW = cT(vin[li], z_bar) + cT(lin[li], lz_bar)
+            dW = cT(vin, z_bar) + cT(lin, lz_bar)
             if jz_bar is not None:
                 for k in range(d):
-                    dW = dW + cT(jin[li][k], jz_bar[k])
+                    dW = dW + cT(jin[k], jz_bar[k])
             db = jnp.sum(z_bar, axis=0, keepdims=True)
 
             oW, ob = orefs[2 * li], orefs[2 * li + 1]
@@ -185,7 +208,7 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
 
             if li > 0:
                 bT = lambda a: jax.lax.dot_general(
-                    a, W, (((1,), (1,)), ((), ())),
+                    cast(a), W, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 v_bar = bT(z_bar)
                 lp_bar = bT(lz_bar)

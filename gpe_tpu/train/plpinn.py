@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpe_tpu.models import mlp
-from gpe_tpu.train.loop import fit
+from gpe_tpu.train.loop import _jit_eval as _jit_polish_eval, fit
 from gpe_tpu.train.optimizers import make_optimizer
 from gpe_tpu.train.pretrain import pretrain_to_base
 from gpe_tpu.train.problem import (GPESpec, base_triple, make_batch,
@@ -69,6 +69,8 @@ class PLPINNResult(NamedTuple):
     training_history: dict      # mode -> {gamma: {"loss": np.ndarray, "mu": np.ndarray}}
     constant_history: dict      # mode -> normal_const
     epochs_history: dict        # mode -> {gamma: epochs_run}
+    polished: dict = None       # mode -> {"gamma", "mu", "steps"} when
+    # lm_polish: Levenberg–Marquardt residual refinement at the final γ
 
 
 def _rebase(spec: GPESpec, batch: dict, params, scale: float) -> tuple:
@@ -109,6 +111,8 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
                  check_every: int = 512, keep_params: bool = True,
                  rebase: bool = False, checkpoint_path: str | None = None,
                  mesh=None, lr_mode: str = "loss_faithful",
+                 lm_polish: bool = False, lm_steps: int = 120,
+                 lm_cg_iters: int = 80,
                  verbose: bool = False) -> PLPINNResult:
     """Run the PL-PINN continuation sweep. Reference-parity entry point.
 
@@ -134,7 +138,7 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
         ckpt = SweepCheckpointer(checkpoint_path)
 
     params_by_mode, mu_table, training_history = {}, {}, {}
-    constant_history, epochs_history = {}, {}
+    constant_history, epochs_history, polished = {}, {}, {}
 
     for mi, mode in enumerate(modes):
         batch = make_batch(spec, mode)
@@ -223,5 +227,27 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
         training_history[mode] = by_gamma_hist
         epochs_history[mode] = by_gamma_epochs
 
+        if lm_polish and mus:
+            # Gauss–Newton/LM refinement of the residual from the converged
+            # state at the final γ (train/gauss_newton.py). With rebase=True
+            # the CURRENT batch carries the folded base arrays, so the polish
+            # optimizes exactly the ansatz that trained.
+            from gpe_tpu.train.gauss_newton import (make_gpe_residual_fn,
+                                                    make_lm_solver)
+            rfn = make_gpe_residual_fn(spec)
+            lm = make_lm_solver(rfn, params, steps=lm_steps,
+                                cg_iters=lm_cg_iters)
+            g_last = mus[-1][0]
+            res_lm = lm(params, batch, jnp.float32(g_last), jnp.float32(scale))
+            _, aux_lm = _jit_polish_eval(loss_fn)(
+                res_lm.params, batch, jnp.float32(g_last), jnp.float32(scale))
+            polished[mode] = {"gamma": g_last, "mu": float(aux_lm["mu"]),
+                              "steps": lm_steps}
+            if keep_params:
+                by_gamma_params[("polished", g_last)] = jax.tree.map(
+                    np.asarray, res_lm.params)
+            if verbose:
+                print(f"mode {mode} γ={g_last:g}: LM-polished μ={polished[mode]['mu']:.7f}")
+
     return PLPINNResult(params_by_mode, mu_table, training_history,
-                        constant_history, epochs_history)
+                        constant_history, epochs_history, polished)
