@@ -47,11 +47,18 @@ def initialize_multihost(coordinator_address: str | None = None,
     import os
 
     coord = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    on_pod_env = any(os.environ.get(k) for k in
-                     ("MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"))
+    # pod-ish env: megascale coordinator, or a MULTI-worker hostname list (a
+    # single-entry TPU_WORKER_HOSTNAMES — e.g. this image's tunnel runtime
+    # sets "localhost" — is not a multihost deployment)
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    on_pod_env = bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")) or \
+        len([h for h in workers.split(",") if h.strip()]) > 1
     if coord is None and not on_pod_env:
         return False
-    if jax.process_count() > 1:      # already initialized
+    # NOTE: must not call jax.process_count()/jax.devices() here — any device
+    # query initializes the XLA backend, after which jax.distributed refuses
+    # to initialize. is_initialized() inspects the client without booting.
+    if jax.distributed.is_initialized():
         return True
     try:
         jax.distributed.initialize(coordinator_address=coord,
