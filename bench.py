@@ -168,6 +168,42 @@ def bench_jax():
     except Exception as e:
         print(f"fused train bench skipped: {e}", file=sys.stderr)
 
+    # 2c. one-step-relaxed fused step (delayed cotangents: ONE kernel/step,
+    #     exact loss, gradient weights one step stale — converges to the same
+    #     fixed points; tests/test_pallas_grad.py::test_delayed_mode_*)
+    dt_train_relaxed = float("nan")
+    try:
+        from gpe_tpu.pallas.fused_grad import make_pallas_value_and_grad
+        from gpe_tpu.train.problem import _pick_tile
+        tile = _pick_tile(n_pts, 896)
+        sum_tile = _pick_tile(n_pts, 1792)
+        if tile and sum_tile:
+            vag_d = make_pallas_value_and_grad(
+                spec.layers, spec.activation, spec.p, spec.kinetic,
+                spec.nonlinearity, bc_weight=spec.bc_weight,
+                norm_weight=spec.norm_weight, tile=tile, sum_tile=sum_tile,
+                delayed=True)
+            vs0 = vag_d.init_state(params, batch, gamma, scale)
+
+            def relaxed_train_scan(K):
+                opt_state = opt.init(params)
+
+                @jax.jit
+                def run():
+                    def body(c, _):
+                        p, st, vs = c
+                        (total, aux), grads, vs = vag_d(p, batch, gamma,
+                                                        scale, vs)
+                        updates, st = opt.update(grads, st, p)
+                        return (optax.apply_updates(p, updates), st, vs), total
+                    (_, _, _), tots = lax.scan(
+                        body, (params, opt_state, vs0), None, length=K)
+                    return tots[-1]
+                return run
+            dt_train_relaxed = _true_time(relaxed_train_scan)
+    except Exception as e:
+        print(f"relaxed train bench skipped: {e}", file=sys.stderr)
+
     # 3. bf16 eval path (f32 quadrature accumulation)
     spec16 = _spec("bf16")
     batch16 = make_batch(spec16, 0)
@@ -216,6 +252,9 @@ def bench_jax():
         "fused_train_step_pts_per_sec": (n_pts / dt_train_fused
                                          if dt_train_fused == dt_train_fused
                                          else None),
+        "fused_train_step_relaxed_pts_per_sec": (
+            n_pts / dt_train_relaxed
+            if dt_train_relaxed == dt_train_relaxed else None),
         "bf16_eval_pts_per_sec": n_pts / dt_eval16,
         "eval_tflops": flops / best_dt / 1e12,
         "eval_mfu": flops / best_dt / PEAK_FLOPS,
@@ -288,6 +327,9 @@ def main():
         "train_step_pts_per_sec": round(r["train_step_pts_per_sec"]),
         "fused_train_step_pts_per_sec": (round(r["fused_train_step_pts_per_sec"])
                                          if r["fused_train_step_pts_per_sec"] else None),
+        "fused_train_step_relaxed_pts_per_sec": (
+            round(r["fused_train_step_relaxed_pts_per_sec"])
+            if r.get("fused_train_step_relaxed_pts_per_sec") else None),
         "bf16_eval_pts_per_sec": round(r["bf16_eval_pts_per_sec"]),
         "eval_tflops": round(r["eval_tflops"], 2),
         "eval_mfu": round(r["eval_mfu"], 4),

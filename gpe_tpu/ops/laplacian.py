@@ -117,6 +117,42 @@ def activation_quad(name: str) -> Callable:
         raise ValueError(f"no σ‴ for activation {name!r}; have {sorted(ACTIVATION_QUADS)}")
 
 
+def _tanh_from_vals(s0, s1):
+    s2 = -2.0 * s0 * s1
+    return s2, -2.0 * (s1 * s1 + s0 * s2)
+
+
+def _shifted_tanh_from_vals(s0, s1, eps: float = 1e-6):
+    t = s0 - 1.0 - eps
+    s2 = -2.0 * t * s1
+    return s2, -2.0 * (s1 * s1 + t * s2)
+
+
+def _sin_from_vals(s0, s1):
+    return -s0, -s1
+
+
+ACTIVATION_FROM_VALUES = {
+    "tanh": _tanh_from_vals,
+    "shifted_tanh": _shifted_tanh_from_vals,
+    "sin": _sin_from_vals,
+}
+
+
+def activation_from_values(name: str) -> Callable:
+    """(σ″, σ‴) recovered ALGEBRAICALLY from stored (σ, σ′) — no
+    transcendental evaluation. Used by the fused Pallas backward kernel:
+    storing the forward's (σ, σ′) per hidden layer and deriving the higher
+    derivatives with a few multiplies removes every tanh/sin recompute from
+    the (VPU-bound) reverse sweep."""
+    try:
+        return ACTIVATION_FROM_VALUES[name]
+    except KeyError:
+        raise ValueError(
+            f"no value-derivative rule for activation {name!r}; "
+            f"have {sorted(ACTIVATION_FROM_VALUES)}")
+
+
 # ---------------------------------------------------------------------------
 # Forward-Laplacian MLP propagation
 # ---------------------------------------------------------------------------

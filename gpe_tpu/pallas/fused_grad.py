@@ -39,6 +39,19 @@ The tiny boundary term (bc_weight·mean((scale·net(bx))²)) is differentiated
 by plain XLA and added. Exact-gradient parity with
 jax.grad(make_loss_fn(spec)) is enforced by tests/test_pallas_grad.py.
 
+One-step-relaxed mode (delayed=True): the exact step is two kernels because
+the scalar cotangents c = ∂L/∂S need the CURRENT global sums S before the
+backward can run — and profiling shows pass 1 is a third of the step at the
+MXU/VPU roofline. But the gradient is LINEAR in c (grad = Σ_k c_k ∂S_k/∂θ),
+so weighting the backward with the PREVIOUS step's cotangents gives a
+descent direction that converges to the same fixed points (at stationarity c
+is stationary, so the exact and relaxed gradients coincide), while pass 2
+itself emits this step's sums S as extra outputs — making the reported loss
+and μ EXACT for the current params with ONE kernel per step. The relaxed vag
+is stateful (carries S); fit() threads the state through its scan carry.
+Convergence parity with the exact mode is enforced by
+tests/test_pallas_grad.py::test_delayed_mode_converges_like_exact.
+
 Scope: vanilla (u = scale·net(x)) AND perturbation (u = base + scale·net(x))
 ansätze — the base (value, Laplacian) streams enter as constant per-point
 inputs (`base_val`/`base_lap` below), so PL-PINN training runs fused too.
@@ -54,7 +67,8 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from gpe_tpu.ops.laplacian import activation_quad
+from gpe_tpu.ops.laplacian import (activation_from_values, activation_quad,
+                                   activation_triple)
 from gpe_tpu.pallas.fused_residual import (LANES, _pad_params,
                                            make_pallas_loss_eval)
 
@@ -66,7 +80,8 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                                norm_weight: float = 20.0,
                                tile: int = 896, sum_tile: int = 1792,
                                interpret: bool = False,
-                               compute_dtype=jnp.float32):
+                               compute_dtype=jnp.float32,
+                               delayed: bool = False):
     """Build vag(params, batch, gamma, scale) -> ((total, aux), grads) with
     the same contract as jax.value_and_grad(make_loss_fn(spec), has_aux=True)
     for a vanilla-ansatz GPESpec. `tile` is the backward row-tile (smaller
@@ -82,7 +97,10 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
     d = layers[0]
     assert layers[-1] == 1, "scalar-output nets only"
     n_layers = len(layers) - 1
-    quad = activation_quad(activation)
+    quad = activation_quad(activation)          # registry gate (σ‴ must exist)
+    triple = activation_triple(activation)
+    from_vals = activation_from_values(activation)
+    del quad
 
     ev = make_pallas_loss_eval(layers, activation, p, kinetic, nonlinearity,
                                bc_weight=bc_weight, norm_weight=norm_weight,
@@ -92,7 +110,8 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
 
     def kernel(scal_ref, x_ref, V_ref, w_ref, bval_ref, blap_ref, *rest):
         wrefs = rest[:2 * n_layers]
-        orefs = rest[2 * n_layers:]
+        orefs = rest[2 * n_layers:-1] if delayed else rest[2 * n_layers:]
+        sums_ref = rest[-1] if delayed else None
         i = pl.program_id(0)
         gamma, scale = scal_ref[0, 0], scal_ref[0, 1]
         c0, c1 = scal_ref[0, 2], scal_ref[0, 3]
@@ -103,14 +122,15 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         d_pad = x_ref.shape[1]
         col = jax.lax.broadcasted_iota(jnp.int32, (T, d_pad), 1)
 
-        # ---- forward, storing each hidden layer's PRE-ACTIVATION state ----
-        # (z, jz rows, lz). The reverse sweep recovers layer inputs from the
-        # previous layer's stored pre-activations with elementwise σ evals —
-        # no recompute GEMMs.
+        # ---- forward, storing each hidden layer's (σ, σ′) + pre-activation
+        # Jacobian/Laplacian channels. The reverse derives σ″/σ‴
+        # ALGEBRAICALLY from the stored values (activation_from_values) — no
+        # transcendental recomputes and no recompute GEMMs in the (VPU-bound)
+        # reverse sweep.
         v = x_ref[...]
         jac = [(col == k).astype(jnp.float32) for k in range(d)]
         lp = jnp.zeros((T, d_pad), jnp.float32)
-        zs, jzs, lzs = [], [], []
+        s0s, s1s, jzs, lzs = [], [], [], []
         for li in range(n_layers):
             W = wrefs[2 * li][...]
             b = wrefs[2 * li + 1][...]
@@ -118,11 +138,12 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
             jz = [jnp.dot(cast(j), W, preferred_element_type=jnp.float32)
                   for j in jac]
             lz = jnp.dot(cast(lp), W, preferred_element_type=jnp.float32)
-            zs.append(z)
             jzs.append(jz)
             lzs.append(lz)
             if li < n_layers - 1:
-                s0, s1, s2, _ = quad(z)
+                s0, s1, s2 = triple(z)
+                s0s.append(s0)
+                s1s.append(s1)
                 g2 = jz[0] * jz[0]
                 for j in jz[1:]:
                     g2 = g2 + j * j
@@ -130,18 +151,26 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
             else:
                 v, lp = z, lz          # final layer is linear
 
+        # derived per-hidden-layer quantities (cheap muls, computed once)
+        s2s, s3s, g2s = [], [], []
+        for li in range(n_layers - 1):
+            s2, s3 = from_vals(s0s[li], s1s[li])
+            s2s.append(s2)
+            s3s.append(s3)
+            g2 = jzs[li][0] * jzs[li][0]
+            for j in jzs[li][1:]:
+                g2 = g2 + j * j
+            g2s.append(g2)
+
         def layer_inputs(li):
-            """(vin, jin, lin) of layer li, from stored pre-activations."""
+            """(vin, jin, lin) of layer li, from the stored forward state."""
             if li == 0:
                 x0 = x_ref[...]
                 j0 = [(col == k).astype(jnp.float32) for k in range(d)]
                 return x0, j0, jnp.zeros((T, d_pad), jnp.float32)
-            zp, jzp, lzp = zs[li - 1], jzs[li - 1], lzs[li - 1]
-            s0, s1, s2, _ = quad(zp)
-            g2 = jzp[0] * jzp[0]
-            for j in jzp[1:]:
-                g2 = g2 + j * j
-            return s0, [s1 * j for j in jzp], s1 * lzp + s2 * g2
+            k = li - 1
+            return (s0s[k], [s1s[k] * j for j in jzs[k]],
+                    s1s[k] * lzs[k] + s2s[k] * g2s[k])
 
         # ---- pointwise cotangents -----------------------------------------
         u = bval_ref[...] + scale * v[:, 0:1]     # perturbation ansatz: the
@@ -159,6 +188,26 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         u_bar = c1 * hu + 2.0 * c2 * u + 2.0 * c3 * w * u + hu_bar * (V + dnl)
         l_bar = -kinetic * hu_bar
 
+        if delayed:
+            # this step's global sums as extra outputs (the relaxed mode
+            # reads them back as the next step's cotangent state AND as the
+            # exact loss of the current params); skipped in exact mode —
+            # pass 1 already produced them and the packing costs ~10%
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+            sums = (jnp.where(lane == 0, jnp.sum(hu * hu), 0.0)
+                    + jnp.where(lane == 1, jnp.sum(u * hu), 0.0)
+                    + jnp.where(lane == 2, jnp.sum(u * u), 0.0)
+                    + jnp.where(lane == 3, jnp.sum(u * u * w), 0.0)
+                    ).astype(jnp.float32)
+
+            @pl.when(i == 0)
+            def _():
+                sums_ref[...] = sums
+
+            @pl.when(i > 0)
+            def _():
+                sums_ref[...] = sums_ref[...] + sums
+
         # ---- reverse sweep ------------------------------------------------
         out_lane = jax.lax.broadcasted_iota(
             jnp.int32, (T, wrefs[2 * (n_layers - 1)].shape[1]), 1)
@@ -170,13 +219,12 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
             W = wrefs[2 * li][...]
             vin, jin, lin = layer_inputs(li)
             if li < n_layers - 1:
-                z, jz, lz = zs[li], jzs[li], lzs[li]
-                _, s1, s2, s3 = quad(z)
+                jz, lz = jzs[li], lzs[li]
+                s1, s2, s3 = s1s[li], s2s[li], s3s[li]
+                g2 = g2s[li]
                 jj = jz[0] * j_bar[0]
-                g2 = jz[0] * jz[0]
                 for k in range(1, d):
                     jj = jj + jz[k] * j_bar[k]
-                    g2 = g2 + jz[k] * jz[k]
                 z_bar = s1 * v_bar + s2 * jj + (s2 * lz + s3 * g2) * lp_bar
                 jz_bar = [s1 * j_bar[k] + 2.0 * s2 * jz[k] * lp_bar
                           for k in range(d)]
@@ -252,6 +300,10 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
             out_specs.append(pl.BlockSpec((1, b.shape[0]), lambda i: (0, 0),
                                           memory_space=pltpu.VMEM))
             out_shape.append(jax.ShapeDtypeStruct((1, b.shape[0]), jnp.float32))
+        if delayed:
+            out_specs.append(pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((1, LANES), jnp.float32))
 
         outs = pl.pallas_call(
             kernel, grid=(grid,), in_specs=in_specs, out_specs=out_specs,
@@ -264,7 +316,10 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
             fi, fo = W.shape
             grads.append((outs[2 * li][:fi, :fo].astype(W.dtype),
                           outs[2 * li + 1][0, :fo].astype(b.dtype)))
-        return grads
+        if not delayed:
+            return grads, None
+        s = outs[-1]
+        return grads, (s[0, 0], s[0, 1], s[0, 2], s[0, 3])
 
     def boundary_term(params, bx, scale, base_bval):
         # unweighted mean(bv²): aux reports it directly (no division by
@@ -276,29 +331,66 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
 
     boundary_vg = jax.value_and_grad(boundary_term)
 
+    def _loss_and_cots(sums, n):
+        s0, s1, s2, s3 = sums
+        mu = s1 / (s2 + 1e-12)
+        pde = (s0 - 2.0 * mu * s1 + mu * mu * s2) / n
+        norm = (s3 - 1.0) ** 2
+        cots = (jnp.float32(1.0 / n), -2.0 * mu / n, mu * mu / n,
+                2.0 * norm_weight * (s3 - 1.0))
+        return mu, pde, norm, cots
+
+    def _merge(cgrads, bgrads, params):
+        leaves = [g for (cw, cb), (bw, bb) in zip(cgrads, bgrads)
+                  for g in (cw + bw, cb + bb)]
+        return jax.tree.unflatten(jax.tree.structure(params), leaves)
+
     def vag(params, batch, gamma, scale):
         x, V, w = batch["x"], batch["V"], batch["w"]
         n = x.shape[0]
         bval = batch.get("base_val")
         blap = batch.get("base_lap")
         bbv = batch.get("base_bval", jnp.float32(0.0))
-        s0, s1, s2, s3 = collocation_sums(params, x, V, w, gamma, scale,
-                                          bval, blap)
-        mu = s1 / (s2 + 1e-12)
-        pde = (s0 - 2.0 * mu * s1 + mu * mu * s2) / n
-        norm = (s3 - 1.0) ** 2
+        sums = collocation_sums(params, x, V, w, gamma, scale, bval, blap)
+        mu, pde, norm, cots = _loss_and_cots(sums, n)
         bmean, bgrads = boundary_vg(params, batch["bx"], scale, bbv)
         bgrads = jax.tree.map(lambda g: bc_weight * g, bgrads)
         total = pde + bc_weight * bmean + norm_weight * norm
         aux = {"pde": pde, "boundary": bmean, "norm": norm,
                "mu": mu, "total": total}
-        cots = (jnp.float32(1.0 / n), -2.0 * mu / n, mu * mu / n,
-                2.0 * norm_weight * (s3 - 1.0))
-        cgrads = collocation_grads(params, x, V, w, gamma, scale, cots,
-                                   bval, blap)
-        leaves = [g for (cw, cb), (bw, bb) in zip(cgrads, bgrads)
-                  for g in (cw + bw, cb + bb)]
-        grads = jax.tree.unflatten(jax.tree.structure(params), leaves)
-        return (total, aux), grads
+        cgrads, _ = collocation_grads(params, x, V, w, gamma, scale, cots,
+                                      bval, blap)
+        return (total, aux), _merge(cgrads, bgrads, params)
 
-    return vag
+    if not delayed:
+        return vag
+
+    def init_state(params, batch, gamma, scale):
+        """Exact sums of the INITIAL params — the first step's cotangent
+        weights (one pass-1 kernel, once per fit)."""
+        return jnp.stack(collocation_sums(
+            params, batch["x"], batch["V"], batch["w"], gamma, scale,
+            batch.get("base_val"), batch.get("base_lap")))
+
+    def vag_relaxed(params, batch, gamma, scale, state):
+        x, V, w = batch["x"], batch["V"], batch["w"]
+        n = x.shape[0]
+        bval = batch.get("base_val")
+        blap = batch.get("base_lap")
+        bbv = batch.get("base_bval", jnp.float32(0.0))
+        _, _, _, cots_prev = _loss_and_cots(
+            (state[0], state[1], state[2], state[3]), n)
+        cgrads, sums_new = collocation_grads(params, x, V, w, gamma, scale,
+                                             cots_prev, bval, blap)
+        mu, pde, norm, _ = _loss_and_cots(sums_new, n)   # EXACT current loss
+        bmean, bgrads = boundary_vg(params, batch["bx"], scale, bbv)
+        bgrads = jax.tree.map(lambda g: bc_weight * g, bgrads)
+        total = pde + bc_weight * bmean + norm_weight * norm
+        aux = {"pde": pde, "boundary": bmean, "norm": norm,
+               "mu": mu, "total": total}
+        return ((total, aux), _merge(cgrads, bgrads, params),
+                jnp.stack(sums_new))
+
+    vag_relaxed.stateful = True
+    vag_relaxed.init_state = init_state
+    return vag_relaxed

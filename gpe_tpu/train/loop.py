@@ -33,6 +33,8 @@ class FitCarry(NamedTuple):
     done: jnp.ndarray          # bool: stopped (tol or patience)
     stop_epoch: jnp.ndarray    # epoch index at stop (or total epochs)
     epoch: jnp.ndarray
+    vag_state: Any = ()        # state of a STATEFUL value_and_grad_fn (e.g.
+    # the relaxed fused kernel's previous-step sums); () when stateless
 
 
 class FitResult(NamedTuple):
@@ -62,10 +64,18 @@ def _run_chunk(loss_fn, optimizer, carry: FitCarry, batch, gamma, scale,
 
     vag = (jax.value_and_grad(loss_fn, has_aux=True)
            if value_and_grad_fn is None else value_and_grad_fn)
+    # stateful vag contract (see pallas/fused_grad.py relaxed mode):
+    # vag(params, batch, gamma, scale, state) -> ((loss, aux), grads, state)
+    stateful = bool(getattr(vag, "stateful", False))
 
     def step(c: FitCarry, _):
         s = scale if scale_schedule is None else scale_schedule(c.epoch)
-        (loss, aux), grads = vag(c.params, batch, gamma, s)
+        if stateful:
+            (loss, aux), grads, vstate = vag(c.params, batch, gamma, s,
+                                             c.vag_state)
+        else:
+            (loss, aux), grads = vag(c.params, batch, gamma, s)
+            vstate = c.vag_state
         obj_fn = lambda p: loss_fn(p, batch, gamma, s)[0]
         key = jax.random.fold_in(jax.random.PRNGKey(0), c.epoch)
         updates, new_opt = opt_x.update(
@@ -92,7 +102,7 @@ def _run_chunk(loss_fn, optimizer, carry: FitCarry, batch, gamma, scale,
         stop_epoch = jnp.where(keep, c.stop_epoch,
                                jnp.where(now_done, c.epoch, c.stop_epoch))
         new_c = FitCarry(params, opt_state, best_params, best_loss, since,
-                         done, stop_epoch, c.epoch + 1)
+                         done, stop_epoch, c.epoch + 1, vstate)
         return new_c, (loss, aux["mu"])
 
     return jax.lax.scan(step, carry, None, length=check_every)
@@ -111,7 +121,7 @@ def _jit_eval(loss_fn):
     return f
 
 
-def _init_carry(optimizer, params, epochs):
+def _init_carry(optimizer, params, epochs, vag_state=()):
     return FitCarry(
         params=params, opt_state=optimizer.init(params), best_params=params,
         best_loss=jnp.asarray(jnp.inf, jnp.float32),
@@ -119,6 +129,7 @@ def _init_carry(optimizer, params, epochs):
         done=jnp.zeros((), bool),
         stop_epoch=jnp.asarray(epochs, jnp.int32),
         epoch=jnp.zeros((), jnp.int32),
+        vag_state=vag_state,
     )
 
 
@@ -156,7 +167,13 @@ def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
     scale = jnp.asarray(scale, jnp.float32)
     # a chunk longer than the whole budget just burns masked device steps
     check_every = min(check_every, epochs)
-    carry = _init_carry(optimizer, params, epochs)
+    vag_state = ()
+    if value_and_grad_fn is not None and getattr(value_and_grad_fn,
+                                                 "stateful", False):
+        s0 = scale if scale_schedule is None \
+            else scale_schedule(jnp.zeros((), jnp.int32))
+        vag_state = value_and_grad_fn.init_state(params, batch, gamma, s0)
+    carry = _init_carry(optimizer, params, epochs, vag_state)
 
     losses, mus = [], []
     steps_done = 0
@@ -240,7 +257,14 @@ def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
         axis = mesh.axis_names[0]
         params_batch = shard_ensemble(params_batch, mesh, axis)
         scale = shard_ensemble(scale, mesh, axis)
-    carry = jax.vmap(lambda p: _init_carry(optimizer, p, epochs))(params_batch)
+    if value_and_grad_fn is not None and getattr(value_and_grad_fn,
+                                                 "stateful", False):
+        vs = jax.vmap(lambda p, s: value_and_grad_fn.init_state(
+            p, batch, gamma, s))(params_batch, scale)
+        carry = jax.vmap(lambda p, v: _init_carry(optimizer, p, epochs, v))(
+            params_batch, vs)
+    else:
+        carry = jax.vmap(lambda p: _init_carry(optimizer, p, epochs))(params_batch)
 
     run_chunk = jax.vmap(
         lambda c, s: _run_chunk(loss_fn, optimizer, c, batch, gamma, s,

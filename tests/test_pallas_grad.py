@@ -141,3 +141,48 @@ def test_fused_grad_matches_xla_perturbation_ansatz():
                    nonlinearity="power", use_perturbation=True,
                    basis="hermite", activation="shifted_tanh")
     _check_grads(spec, 3.0, 0.01, tile=256, sum_tile=512)
+
+
+def test_delayed_mode_exact_loss_and_convergence():
+    """One-step-relaxed cotangent mode: the reported loss/μ are EXACT for the
+    current params, and training through fit() converges to the same place as
+    the exact two-pass mode."""
+    from gpe_tpu.train.loop import fit
+    from gpe_tpu.train.optimizers import make_optimizer
+
+    spec = GPESpec(dim=1, n_points=512, layers=(1, 32, 32, 1),
+                   potential="harmonic", lb=-8.0, ub=8.0,
+                   nonlinearity="power", use_perturbation=True,
+                   basis="hermite", activation="tanh")
+    batch = make_batch(spec, 0)
+    params = mlp.init_mlp(jax.random.PRNGKey(0), spec.layers)
+    kw = dict(bc_weight=spec.bc_weight, norm_weight=spec.norm_weight,
+              tile=256, sum_tile=512, interpret=True)
+    vag = make_pallas_value_and_grad(spec.layers, spec.activation, spec.p,
+                                     spec.kinetic, spec.nonlinearity, **kw)
+    vag_d = make_pallas_value_and_grad(spec.layers, spec.activation, spec.p,
+                                       spec.kinetic, spec.nonlinearity,
+                                       delayed=True, **kw)
+    assert vag_d.stateful
+
+    g, s = jnp.float32(2.0), jnp.float32(0.01)
+    state = vag_d.init_state(params, batch, g, s)
+    (tot_d, aux_d), grads_d, state2 = vag_d(params, batch, g, s, state)
+    (tot_e, aux_e), grads_e = vag(params, batch, g, s)
+    # loss/μ exact; with state = exact sums of the SAME params the relaxed
+    # gradient equals the exact gradient too
+    np.testing.assert_allclose(float(tot_d), float(tot_e), rtol=1e-6)
+    np.testing.assert_allclose(float(aux_d["mu"]), float(aux_e["mu"]), rtol=1e-6)
+    for (dw, db), (ew, eb) in zip(grads_d, grads_e):
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(ew), rtol=2e-5,
+                                   atol=1e-8)
+
+    # convergence parity through fit()
+    loss_fn = make_loss_fn(spec)
+    opt = make_optimizer("adam", 3e-3, clip_norm=1.0)
+    kwf = dict(epochs=300, tol=-1.0, patience=10**9, check_every=150)
+    r_e = fit(loss_fn, opt, params, batch, g, s, value_and_grad_fn=vag, **kwf)
+    r_d = fit(loss_fn, opt, params, batch, g, s, value_and_grad_fn=vag_d, **kwf)
+    np.testing.assert_allclose(r_d.best_loss, r_e.best_loss, rtol=5e-2)
+    np.testing.assert_allclose(r_d.mu_history[-1], r_e.mu_history[-1],
+                               rtol=5e-3)
