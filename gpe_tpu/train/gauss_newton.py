@@ -83,16 +83,23 @@ class LMResult(NamedTuple):
 
 def make_lm_solver(residual_fn: Callable, params_template,
                    steps: int = 100, cg_iters: int = 50, lam0: float = 1e-2,
-                   lam_min: float = 1e-9, lam_max: float = 1e6) -> Callable:
+                   lam_min: float = 1e-9, lam_max: float = 1e6,
+                   chunk: int = 20) -> Callable:
     """Build a reusable jitted LM solver: solver(params, batch, γ, s) → LMResult.
 
     Built ONCE per (problem, net shape): repeated calls across a continuation
     ramp hit the same compiled executable (γ, s are traced scalars).
+    The scan is split into `chunk`-step device programs with the (θ, λ) state
+    carried across host round-trips: a 120-step LM at 50k-pt 2D is an
+    ~11-second single device program, long enough to crash this image's
+    tunnel-attached TPU worker — chunking bounds each program to ~2 s with
+    negligible fetch overhead.
     """
     _, unravel = ravel_pytree(params_template)
+    chunk = max(1, min(chunk, steps))
 
     @jax.jit
-    def run(theta0, batch, gamma, scale):
+    def run(theta0, lam_in, batch, gamma, scale):
         def rflat(theta):
             return residual_fn(unravel(theta), batch, gamma, scale)
 
@@ -124,15 +131,25 @@ def make_lm_solver(residual_fn: Callable, params_template,
                            lam_min, lam_max)
             return (theta, lam), (jnp.minimum(loss, loss_new), lam)
 
-        (theta, _), (losses, lams) = jax.lax.scan(
-            lm_step, (theta0, jnp.asarray(lam0, jnp.float32)), None, length=steps)
-        return theta, losses, lams
+        (theta, lam_out), (losses, lams) = jax.lax.scan(
+            lm_step, (theta0, lam_in), None, length=chunk)
+        return theta, lam_out, losses, lams
 
     def solver(params, batch, gamma, scale) -> LMResult:
-        theta0, _ = ravel_pytree(params)
-        theta, losses, lams = run(theta0, batch, jnp.asarray(gamma, jnp.float32),
-                                  jnp.asarray(scale, jnp.float32))
-        return LMResult(unravel(theta), float(losses[-1]), np.asarray(losses),
-                        np.asarray(lams))
+        theta, _ = ravel_pytree(params)
+        lam = jnp.asarray(lam0, jnp.float32)
+        gamma = jnp.asarray(gamma, jnp.float32)
+        scale = jnp.asarray(scale, jnp.float32)
+        all_losses, all_lams = [], []
+        done = 0
+        while done < steps:
+            theta, lam, losses, lams = run(theta, lam, batch, gamma, scale)
+            n = min(chunk, steps - done)
+            all_losses.append(np.asarray(losses[:n]))
+            all_lams.append(np.asarray(lams[:n]))
+            done += n
+        losses = np.concatenate(all_losses)
+        lams = np.concatenate(all_lams)
+        return LMResult(unravel(theta), float(losses[-1]), losses, lams)
 
     return solver

@@ -304,7 +304,8 @@ def _pick_tile(n: int, cap: int) -> int | None:
 
 
 def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 896,
-                              sum_tile_cap: int = 1792):
+                              sum_tile_cap: int = 1792,
+                              relaxed: bool | None = None):
     # sum_tile 3584 overflows the 16MB VMEM scope for 128-wide nets with the
     # perturbation base streams (measured 16.64M); 1792 is safe and costs
     # ~13% on pass 1 only
@@ -317,8 +318,16 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 896,
     weights, Riemann normalization, no hard-BC factor, f32, an activation
     with a registered σ‴, a TPU backend, and a collocation count with tile
     divisors (picked automatically up to the caps).
+
+    relaxed=True (or GPE_TPU_RELAXED_FUSED=1) selects the one-step-relaxed
+    single-kernel mode: exact loss, gradient cotangent weights one step
+    stale, ~15-25%% faster (pallas/fused_grad.py). fit() handles the
+    stateful contract transparently. Default: the exact two-pass gradient.
     """
     import os
+
+    if relaxed is None:
+        relaxed = bool(os.environ.get("GPE_TPU_RELAXED_FUSED"))
 
     from gpe_tpu.ops.laplacian import ACTIVATION_QUADS
     from gpe_tpu.pallas import make_pallas_value_and_grad, pallas_supported
@@ -328,10 +337,14 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 896,
     n = spec.n_points ** spec.dim
     tile = _pick_tile(n, tile_cap)
     sum_tile = _pick_tile(n, sum_tile_cap)
-    # The fused path wins at scale (50k-pt 2D, width>=100: 5x the XLA step)
-    # but loses on small 1D problems (4000 pts, width 64 padded to 128 lanes:
-    # measured 7x SLOWER end-to-end than XLA's fused graph) — per-kernel
-    # overhead and lane padding dominate. Gate on the collocation count.
+    # The fused path wins at scale (50k-pt 2D, width>=100: ~6x the XLA step)
+    # but loses on small 1D problems. Round-2 A/B on the 4000-pt width-64
+    # paper spec with the improved kernel (pre-activation storage, no
+    # recompute GEMMs): XLA 56.6us/step vs fused 116.6us (2.1x), and even
+    # vmapped over an 8-run ensemble XLA wins 310us vs 371us — width-64
+    # nets waste half of the 128 padded lanes and the whole step is
+    # latency-bound at this size. The >=16k gate is an evidence-based
+    # crossover, not a guess; numbers in RESULTS.md.
     ok = (n >= 16384
           and spec.geometry == "square" and not spec.hard_bc
           and spec.objective == "pde" and spec.weighting == "fixed"
@@ -348,4 +361,4 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 896,
     return make_pallas_value_and_grad(
         spec.layers, spec.activation, spec.p, spec.kinetic, spec.nonlinearity,
         bc_weight=spec.bc_weight, norm_weight=spec.norm_weight,
-        tile=tile, sum_tile=sum_tile)
+        tile=tile, sum_tile=sum_tile, delayed=relaxed)
