@@ -165,17 +165,22 @@ def train_deeponet(spec: DeepONetSpec, gamma: float = 0.0, epochs: int = 5000,
         opt = optax.adam(lr)
 
         @jax.jit
-        def pre_step(p, s):
+        def pre_scan(p, s):
             def mse(p):
                 u = deeponet_apply(p, batch["v_sensors"], batch["x"], spec.activation)
                 return jnp.mean((u - targets) ** 2)
-            l, g = jax.value_and_grad(mse)(p)
-            updates, s = opt.update(g, s, p)
-            return optax.apply_updates(p, updates), s, l
 
-        s = opt.init(params)
-        for _ in range(pretrain_epochs):
-            params, s, l = pre_step(params, s)
+            def step(c, _):
+                p, s = c
+                l, g = jax.value_and_grad(mse)(p)
+                updates, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, updates), s), l
+
+            (p, s), ls = jax.lax.scan(step, (p, s), None,
+                                      length=pretrain_epochs)
+            return p, ls[-1]
+
+        params, _ = pre_scan(params, opt.init(params))
 
     opt = make_optimizer("adam", lr * 0.1, clip_norm=1.0)
     res = fit(loss_fn, opt, params, batch, gamma, 1.0, epochs=epochs, tol=0.0,

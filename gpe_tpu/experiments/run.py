@@ -150,7 +150,10 @@ def main(argv=None):
         if mesh:
             extra["mesh_devices"] = len(mesh.devices.flat)
         if polished:
-            extra["lm_polished"] = polished
+            extra["lm_polished"] = {
+                m: {k: v for k, v in pol.items() if k != "params"}
+                for m, pol in polished.items()}
+            polished = extra["lm_polished"]
             # opportunistic oracle error for the 2D harmonic flagship family
             if (cfg.spec.dim == 2 and cfg.spec.potential == "harmonic"
                     and not cfg.spec.hard_bc):

@@ -31,6 +31,7 @@ def save_bundle(path: str, result, spec=None, extra: dict | None = None) -> str:
         "training_history": result.training_history,
         "constant_history": result.constant_history,
         "epochs_history": result.epochs_history,
+        "polished": _to_numpy(getattr(result, "polished", None)),
         "spec": asdict(spec) if spec is not None and not isinstance(spec, dict) else spec,
         "extra": extra or {},
         "format_version": 1,

@@ -244,8 +244,10 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
             polished[mode] = {"gamma": g_last, "mu": float(aux_lm["mu"]),
                               "steps": lm_steps}
             if keep_params:
-                by_gamma_params[("polished", g_last)] = jax.tree.map(
-                    np.asarray, res_lm.params)
+                # separate entry — by_gamma_params keys must stay a single
+                # sortable type (float γ) for pytree/bundle serialization
+                polished[mode]["params"] = jax.tree.map(np.asarray,
+                                                        res_lm.params)
             if verbose:
                 print(f"mode {mode} γ={g_last:g}: LM-polished μ={polished[mode]['mu']:.7f}")
 
