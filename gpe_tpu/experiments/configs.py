@@ -87,7 +87,7 @@ _register(ExperimentConfig(
     name="deeponet_harmonic",                    # B6 operator learning:
     # V=βx² family → ψ; held-out-β generalization vs the FDM oracle
     # (Gross_Pitaevskii_1D_Physics_Informed_DeepONet.ipynb cells 3,9,11)
-    spec=_PAPER_1D, gamma_values=(1.0,), epochs=6000, algorithm="deeponet"))
+    spec=_PAPER_1D, gamma_values=(1.0,), epochs=20000, algorithm="deeponet"))
 
 _register(ExperimentConfig(
     name="plpinn_sharded_dp",                    # production sharded execution:

@@ -390,12 +390,19 @@ def main(argv=None):
             plt.close(fig)
         except Exception as e:
             print(f"deeponet plot skipped: {e}")
+        interp = [r for r in rows if 0.5 <= r["beta"] <= 2.0]
+        extrap = [r for r in rows if not (0.5 <= r["beta"] <= 2.0)]
         emit({"experiment": cfg.name, "gamma": gamma,
               "train_mu_range": [float(res.mu_per_fn.min()),
                                  float(res.mu_per_fn.max())],
               "heldout": rows,
-              "heldout_max_mu_err": max(r["mu_abs_err"] for r in rows),
-              "heldout_max_psi_l2": max(r["psi_l2_err"] for r in rows),
+              # unseen potentials INSIDE the training family range vs mild
+              # extrapolation beyond it — the operator interpolates far
+              # better than it extrapolates, report both
+              "interp_max_mu_err": max(r["mu_abs_err"] for r in interp),
+              "interp_max_psi_l2": max(r["psi_l2_err"] for r in interp),
+              "extrap_max_mu_err": (max(r["mu_abs_err"] for r in extrap)
+                                    if extrap else None),
               "wall_s": round(time.time() - t0, 1)})
     else:
         raise SystemExit(f"unknown algorithm {cfg.algorithm}")

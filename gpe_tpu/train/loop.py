@@ -239,6 +239,9 @@ def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
     params_batch: pytree with leading run axis R on every leaf.
     scale: scalar, or a per-run (R,) vector — the reference protocol gives each
     seed its own q/normal_const perturbation scale.
+    gamma: scalar, or a per-run (R,) vector — R independent fits at DIFFERENT
+    interaction strengths (e.g. the vanilla baseline's per-checkpoint runs)
+    advance as one batched program.
     `mesh` turns on ensemble (run-axis) device parallelism: params, optimizer
     state, and per-run scalars shard across chips on the leading run axis
     (the batch replicates), and XLA partitions the vmapped scan with no
@@ -252,30 +255,33 @@ def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
     R = jax.tree.leaves(params_batch)[0].shape[0]
     if scale.ndim == 0:
         scale = jnp.full((R,), scale)
+    if gamma.ndim == 0:
+        gamma = jnp.full((R,), gamma)
     if mesh is not None:
         from gpe_tpu.parallel.mesh import shard_ensemble
         axis = mesh.axis_names[0]
         params_batch = shard_ensemble(params_batch, mesh, axis)
         scale = shard_ensemble(scale, mesh, axis)
+        gamma = shard_ensemble(gamma, mesh, axis)
     if value_and_grad_fn is not None and getattr(value_and_grad_fn,
                                                  "stateful", False):
-        vs = jax.vmap(lambda p, s: value_and_grad_fn.init_state(
-            p, batch, gamma, s))(params_batch, scale)
+        vs = jax.vmap(lambda p, g, s: value_and_grad_fn.init_state(
+            p, batch, g, s))(params_batch, gamma, scale)
         carry = jax.vmap(lambda p, v: _init_carry(optimizer, p, epochs, v))(
             params_batch, vs)
     else:
         carry = jax.vmap(lambda p: _init_carry(optimizer, p, epochs))(params_batch)
 
     run_chunk = jax.vmap(
-        lambda c, s: _run_chunk(loss_fn, optimizer, c, batch, gamma, s,
-                                check_every, tol, patience, None, epochs,
-                                value_and_grad_fn))
+        lambda c, g, s: _run_chunk(loss_fn, optimizer, c, batch, g, s,
+                                   check_every, tol, patience, None, epochs,
+                                   value_and_grad_fn))
 
     losses, mus = [], []
     steps_done = 0
     while steps_done < epochs:
         n = min(check_every, epochs - steps_done)
-        carry, (l_hist, mu_hist) = run_chunk(carry, scale)
+        carry, (l_hist, mu_hist) = run_chunk(carry, gamma, scale)
         losses.append(np.asarray(l_hist[:, :n]))
         mus.append(np.asarray(mu_hist[:, :n]))
         steps_done += n
