@@ -52,13 +52,28 @@ def train_single_model(spec: GPESpec, gamma: float, mode: int = 0,
     from gpe_tpu.train.problem import make_fused_value_and_grad
     fused_vag = None if mesh is not None else make_fused_value_and_grad(spec)
     params = mlp.init_mlp(jax.random.PRNGKey(seed), spec.layers, "xavier_uniform")
+    # BOTH methods pretrain on the mode's analytic base — the reference's
+    # train_single_model pretrains unconditionally
+    # (plot_harmonic_potential_at_ground_state.py:1085), which is how its
+    # vanilla baseline is mode-aware at all; for vanilla the net IS the
+    # complete solution (through the hard-BC factor when present)
+    target = np.asarray(base_triple(spec, mode, batch["x"]).value)
     if use_perturbation:
-        target = np.asarray(base_triple(spec, mode, batch["x"]).value)
         params, _ = pretrain_to_base(params, batch["x"], target, spec.activation,
                                      epochs=pretrain_epochs)
         const = float(jnp.max(mlp.mlp_apply(params, batch["x"], spec.activation)))
         scale = perturb_const / const
     else:
+        apply_fn = None
+        if spec.hard_bc:
+            from gpe_tpu.models.ansatz import box_sine_factor
+            factor = box_sine_factor(spec.lb, spec.ub)
+
+            def apply_fn(p, x, act):
+                return mlp.mlp_apply(p, x, act) * factor(x).value
+        params, _ = pretrain_to_base(params, batch["x"], target,
+                                     spec.activation, epochs=pretrain_epochs,
+                                     apply_fn=apply_fn)
         scale = 1.0
     from gpe_tpu.train.plpinn import ramp_optimizer
     opt = ramp_optimizer(lr, lr_mode)
