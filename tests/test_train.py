@@ -91,3 +91,25 @@ def test_plpinn_continuation_two_steps():
     assert abs(mu0 - 1.0) < 5e-3
     assert mu1 > mu0
     assert mu1 < 2.0
+
+
+def test_scale_by_loss_as_step_matches_schedule_at_loss():
+    """Bug-faithful scheduler.step(loss): the applied LR is the warm-restart
+    schedule evaluated at the LOSS value, and with loss ~ 0 it pins at
+    base_lr (the reference's effective behavior)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gpe_tpu.train.schedules import (cosine_warm_restarts,
+                                         scale_by_loss_as_step)
+    sched = cosine_warm_restarts(1e-3, T_0=200, T_mult=2, eta_min=1e-6)
+    t = scale_by_loss_as_step(sched)
+    state = t.init({"w": jnp.zeros(2)})
+    g = {"w": jnp.ones(2)}
+    for loss in (0.0, 1e-5, 50.0, 150.0):
+        u, _ = t.update(g, state, value=jnp.float32(loss))
+        lr_expect = float(sched(jnp.float32(loss)))
+        np.testing.assert_allclose(float(-u["w"][0]), lr_expect, rtol=1e-6)
+    # loss << T_0 -> effectively max LR
+    u, _ = t.update(g, state, value=jnp.float32(1e-4))
+    assert abs(float(-u["w"][0]) - 1e-3) < 1e-6
