@@ -178,10 +178,14 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
                                pl.constant_history[mode])
         # Curriculum: direct net pretrained on the analytic base, then
         # warm-started across the checkpoint ramp (the reference artifact's
-        # protocol — see train_curriculum_ramp)
+        # protocol — see train_curriculum_ramp). The curriculum keeps the
+        # reference's tol=1e-5 early exit even when the PL methods run the
+        # full budget: excited modes are UNSTABLE minima for a direct net,
+        # and running a drifting fit to 5001 epochs lets best-restore lock
+        # in a decayed lower mode (observed: mode 4 slid to μ≈7 at γ=0).
         cur_mu = train_curriculum_ramp(spec, checkpoints, mode, epochs=epochs,
-                                       tol=tol, patience=patience, seed=seed,
-                                       lr_mode=lr_mode)
+                                       tol=max(tol, 1e-5), patience=patience,
+                                       seed=seed, lr_mode=lr_mode)
 
         per_method_errs = {"PL-PINN": [], "PL-PINN-R": [], "PL-PINN+LM": [],
                            "Curriculum Training": [], "Vanilla PINN": []}
@@ -221,7 +225,7 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
         w.writeheader()
         for r in rows:
             w.writerow({**r, "abs_err": f"{r['abs_err']:.2e}",
-                        "rel_err_pct": f"{r['rel_err_pct']:.3f}%"})
+                        "rel_err_pct": f"{r['rel_err_pct']:.4g}%"})
     # raw per-γ table + TeX
     with open(os.path.join(out_dir, "raw_comparison_results.csv"), "w",
               newline="") as f:
