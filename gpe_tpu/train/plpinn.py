@@ -82,18 +82,33 @@ def _rebase(spec: GPESpec, batch: dict, params, scale: float) -> tuple:
     linear eigenfunction — the conditioning win that lets the q-scaled
     ansatz track strongly-interacting states (γ ≫ 1) without representation
     strain. Goes beyond the reference algorithm (which keeps the γ=0 base
-    forever, harmonic_pinn_simulation.py:127-134)."""
+    forever, harmonic_pinn_simulation.py:127-134).
+
+    The folded perturbation is evaluated through the SAME ansatz composition
+    as the loss (hard-BC sine factor included) — folding the raw net under a
+    hard-BC spec rebases onto a function the loss never saw and the
+    continuation diverges (caught on the p3_gaussian family)."""
+    from gpe_tpu.models.ansatz import (box_sine_factor, hard_bc_ansatz,
+                                       plain_ansatz)
     from gpe_tpu.models.mlp import mlp_apply, mlp_vgl
 
-    n = mlp_vgl(params, batch["x"], spec.activation)
+    raw_vgl = lambda p, x: mlp_vgl(p, x, spec.activation)
+    raw_val = lambda p, x: mlp_apply(p, x, spec.activation)
+    if spec.hard_bc:
+        a = hard_bc_ansatz(raw_vgl, raw_val,
+                           box_sine_factor(spec.lb, spec.ub))
+    else:
+        a = plain_ansatz(raw_vgl, raw_val)
+
+    n = a.vgl(params, batch["x"], 1.0)
     batch = dict(batch)
     batch["base_val"] = batch["base_val"] + scale * n.value
     batch["base_grad"] = batch["base_grad"] + scale * n.grad
     batch["base_lap"] = batch["base_lap"] + scale * n.lap
-    nb = mlp_apply(params, batch["bx"], spec.activation)
+    nb = a.value(params, batch["bx"], 1.0)
     batch["base_bval"] = batch["base_bval"] + scale * nb
     if "base_val_reflect" in batch:
-        nr = mlp_apply(params, batch["x_reflect"], spec.activation)
+        nr = a.value(params, batch["x_reflect"], 1.0)
         batch["base_val_reflect"] = batch["base_val_reflect"] + scale * nr
     # Reset the output layer to a TINY random map (not exactly zero: a zero
     # last layer makes the Jacobian w.r.t. all hidden params vanish, which
