@@ -92,3 +92,42 @@ def test_hybrid_lbfgs_reduces_loss():
                    lbfgs_steps=60, check_every=300)
     final = float(loss_fn(r.params, batch, jnp.float32(0.0), jnp.float32(0.01))[0])
     assert final <= r.adam.best_loss + 1e-9
+
+
+@pytest.mark.parametrize("hard_bc", [False, True])
+def test_rebase_preserves_solution_at_rebase_point(hard_bc):
+    """_rebase folds the CURRENT perturbation into the base arrays; the
+    composed solution ψ (and hence loss and μ) must be unchanged at the
+    rebase point up to the tiny reset output layer (1e-3-random map).
+
+    Regression for the hard-BC bug: folding the raw net instead of the
+    sine-factored ansatz rebases onto a function the loss never saw and the
+    continuation diverges (p3_gaussian / p3_box PL-PINN-R blowups)."""
+    from gpe_tpu.train.plpinn import _rebase
+
+    kw = dict(SMALL)
+    if hard_bc:
+        spec = GPESpec(lb=0.0, ub=1.0, potential="box", basis="box",
+                       hard_bc=True, **kw)
+    else:
+        spec = GPESpec(**kw)
+    batch = make_batch(spec, 0)
+    loss_fn = make_loss_fn(spec)
+    params = mlp.init_mlp(jax.random.PRNGKey(3), spec.layers)
+    gamma, scale = jnp.float32(1.0), jnp.float32(0.01)
+
+    loss0, aux0 = loss_fn(params, batch, gamma, scale)
+    batch2, params2 = _rebase(spec, batch, params, float(scale))
+
+    # with the reset output layer zeroed the fold must be EXACT: ψ_new ≡ ψ_old
+    w, b = params2[-1]
+    params2z = tuple(params2[:-1]) + ((jnp.zeros_like(w), jnp.zeros_like(b)),)
+    loss1, aux1 = loss_fn(params2z, batch2, gamma, scale)
+    assert abs(float(aux1["mu"]) - float(aux0["mu"])) < 1e-6
+    assert abs(float(loss1) - float(loss0)) < 1e-6
+
+    # and the actual (1e-3-random·q-scaled) reset stays a small perturbation —
+    # its Laplacian through random-init hidden curvature dominates the shift
+    loss2, aux2 = loss_fn(params2, batch2, gamma, scale)
+    assert abs(float(aux2["mu"]) - float(aux0["mu"])) < 5e-2
+    assert abs(float(loss2) - float(loss0)) < max(5e-2, 0.1 * abs(float(loss0)))
