@@ -81,7 +81,7 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                                tile: int = 896, sum_tile: int = 1792,
                                interpret: bool = False,
                                compute_dtype=jnp.float32,
-                               delayed: bool = False):
+                               delayed: bool = False, n_runs: int = 1):
     """Build vag(params, batch, gamma, scale) -> ((total, aux), grads) with
     the same contract as jax.value_and_grad(make_loss_fn(spec), has_aux=True)
     for a vanilla-ansatz GPESpec. `tile` is the backward row-tile (smaller
@@ -90,12 +90,20 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
     compute_dtype=bf16 runs every GEMM in both passes at the MXU bf16 rate
     with f32 accumulation — gradients then agree with the f32 XLA path only
     to bf16 precision (~1e-2 relative on small components), so it is opt-in;
-    the default keeps exact-parity f32 GEMMs."""
+    the default keeps exact-parity f32 GEMMs.
+
+    n_runs > 1 trains M independent runs lane-packed into one net
+    (pallas/packing.py): params packed block-diagonally, gamma/scale (M,)
+    vectors, vag returns per-run (M,) loss/aux and BLOCK-MASKED packed
+    gradients (the off-diagonal cross-run blocks are zeroed so packed
+    training is exactly M independent runs at the kernel cost of one)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     d = layers[0]
     assert layers[-1] == 1, "scalar-output nets only"
+    M = n_runs
+    assert 1 <= M <= LANES // 4, f"n_runs={M} out of range"
     n_layers = len(layers) - 1
     quad = activation_quad(activation)          # registry gate (σ‴ must exist)
     triple = activation_triple(activation)
@@ -105,7 +113,7 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
     ev = make_pallas_loss_eval(layers, activation, p, kinetic, nonlinearity,
                                bc_weight=bc_weight, norm_weight=norm_weight,
                                tile=sum_tile, interpret=interpret,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype, n_runs=n_runs)
     collocation_sums = ev.collocation_sums
 
     def kernel(scal_ref, x_ref, V_ref, w_ref, bval_ref, blap_ref, *rest):
@@ -113,9 +121,18 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         orefs = rest[2 * n_layers:-1] if delayed else rest[2 * n_layers:]
         sums_ref = rest[-1] if delayed else None
         i = pl.program_id(0)
-        gamma, scale = scal_ref[0, 0], scal_ref[0, 1]
-        c0, c1 = scal_ref[0, 2], scal_ref[0, 3]
-        c2, c3 = scal_ref[0, 4], scal_ref[0, 5]
+        # per-run scalars (γ, s, c0..c3) broadcast to lane rows — run m's
+        # output channel is lane m; scal_ref is (M, 6) in SMEM
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        def lane_row(j):
+            r = jnp.zeros((1, LANES), jnp.float32)
+            for m in range(M):
+                r = r + jnp.where(lane_r == m, scal_ref[m, j], 0.0)
+            return r
+
+        gamma, scale = lane_row(0), lane_row(1)
+        c0, c1, c2, c3 = lane_row(2), lane_row(3), lane_row(4), lane_row(5)
         cast = lambda a: a.astype(compute_dtype)
 
         T = x_ref.shape[0]
@@ -173,8 +190,10 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                     s1s[k] * lzs[k] + s2s[k] * g2s[k])
 
         # ---- pointwise cotangents -----------------------------------------
-        u = bval_ref[...] + scale * v[:, 0:1]     # perturbation ansatz: the
-        lap = blap_ref[...] + scale * lp[:, 0:1]  # base is constant (no grads)
+        # full-width (T, LANES) elementwise (same vector registers as (T,1));
+        # run m's stream rides lane m, lanes ≥ M carry zero-cotangent garbage
+        u = bval_ref[...] + scale * v             # perturbation ansatz: the
+        lap = blap_ref[...] + scale * lp          # base is constant (no grads)
         V = V_ref[...]
         w = w_ref[...]
         au = jnp.abs(u)
@@ -193,12 +212,14 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
             # reads them back as the next step's cotangent state AND as the
             # exact loss of the current params); skipped in exact mode —
             # pass 1 already produced them and the packing costs ~10%
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-            sums = (jnp.where(lane == 0, jnp.sum(hu * hu), 0.0)
-                    + jnp.where(lane == 1, jnp.sum(u * hu), 0.0)
-                    + jnp.where(lane == 2, jnp.sum(u * u), 0.0)
-                    + jnp.where(lane == 3, jnp.sum(u * u * w), 0.0)
-                    ).astype(jnp.float32)
+            T_lane = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1)
+            streams = (hu * hu, u * hu, u * u, u * u * w)
+            sums = jnp.zeros((1, LANES), jnp.float32)
+            for m in range(M):
+                for k, arr in enumerate(streams):
+                    s = jnp.sum(jnp.where(T_lane == m, arr, 0.0))
+                    sums = sums + jnp.where(lane_r == 4 * m + k, s, 0.0)
+            sums = sums.astype(jnp.float32)
 
             @pl.when(i == 0)
             def _():
@@ -211,8 +232,10 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         # ---- reverse sweep ------------------------------------------------
         out_lane = jax.lax.broadcasted_iota(
             jnp.int32, (T, wrefs[2 * (n_layers - 1)].shape[1]), 1)
-        v_bar = jnp.where(out_lane == 0, scale * u_bar, 0.0)
-        lp_bar = jnp.where(out_lane == 0, scale * l_bar, 0.0)
+        # run m's cotangent seeds its own lane (scale/c-rows are already zero
+        # on lanes ≥ M, so u_bar/l_bar vanish there; the mask documents it)
+        v_bar = jnp.where(out_lane < M, scale * u_bar, 0.0)
+        lp_bar = jnp.where(out_lane < M, scale * l_bar, 0.0)
         j_bar = None                   # final layer: Jacobian rows unused
 
         for li in range(n_layers - 1, -1, -1):
@@ -275,15 +298,18 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         flat = []
         for W, b in padded:
             flat.extend([W, b.reshape(1, -1)])
-        scal = jnp.stack([jnp.float32(gamma), jnp.float32(scale),
-                          *[c.astype(jnp.float32) for c in cots]]).reshape(1, 6)
+        g = jnp.broadcast_to(jnp.asarray(gamma, jnp.float32), (M,))
+        s_ = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (M,))
+        cs = [jnp.broadcast_to(jnp.asarray(c, jnp.float32), (M,))
+              for c in cots]
+        scal = jnp.stack([g, s_, *cs], axis=1)        # (M, 6) — row per run
 
         bval = (jnp.zeros((n, 1), jnp.float32) if base_val is None
                 else base_val.astype(jnp.float32).reshape(-1, 1))
         blap = (jnp.zeros((n, 1), jnp.float32) if base_lap is None
                 else base_lap.astype(jnp.float32).reshape(-1, 1))
         in_specs = [
-            pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((M, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, max(d, 8)), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -319,31 +345,52 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         if not delayed:
             return grads, None
         s = outs[-1]
-        return grads, (s[0, 0], s[0, 1], s[0, 2], s[0, 3])
+        if M == 1:
+            return grads, (s[0, 0], s[0, 1], s[0, 2], s[0, 3])
+        sm = s[0, :4 * M].reshape(M, 4)               # lane 4m+k → [m, k]
+        return grads, (sm[:, 0], sm[:, 1], sm[:, 2], sm[:, 3])
 
     def boundary_term(params, bx, scale, base_bval):
         # unweighted mean(bv²): aux reports it directly (no division by
         # bc_weight, which may legitimately be 0) and the weight is applied
-        # to the value/grads at the call site
+        # to the value/grads at the call site. For packed runs (M > 1) the
+        # objective is Σ_m mean(bv_m²) — per-run blocks get their own grads
+        # (cross-run blocks are masked with the rest) — with the per-run
+        # means returned as aux.
         from gpe_tpu.models import mlp
-        bv = base_bval + mlp.mlp_apply(params, bx, activation) * scale
-        return jnp.mean(bv * bv)
+        bv = mlp.mlp_apply(params, bx, activation) * scale
+        if M > 1:
+            bb = jnp.asarray(base_bval, jnp.float32)
+            bv = bv + (bb.reshape(-1, 1) if bb.ndim else bb)
+            means = jnp.mean(bv * bv, axis=0)             # (M,)
+            return jnp.sum(means), means
+        m = jnp.mean((base_bval + bv) ** 2)
+        return m, m
 
-    boundary_vg = jax.value_and_grad(boundary_term)
+    boundary_vg = jax.value_and_grad(boundary_term, has_aux=True)
+
+    if M > 1:
+        from gpe_tpu.pallas.packing import block_masks
+        _masks = block_masks(layers, M)
 
     def _loss_and_cots(sums, n):
         s0, s1, s2, s3 = sums
         mu = s1 / (s2 + 1e-12)
         pde = (s0 - 2.0 * mu * s1 + mu * mu * s2) / n
         norm = (s3 - 1.0) ** 2
-        cots = (jnp.float32(1.0 / n), -2.0 * mu / n, mu * mu / n,
+        cots = (jnp.full_like(mu, 1.0 / n), -2.0 * mu / n, mu * mu / n,
                 2.0 * norm_weight * (s3 - 1.0))
         return mu, pde, norm, cots
 
     def _merge(cgrads, bgrads, params):
         leaves = [g for (cw, cb), (bw, bb) in zip(cgrads, bgrads)
                   for g in (cw + bw, cb + bb)]
-        return jax.tree.unflatten(jax.tree.structure(params), leaves)
+        tree = jax.tree.unflatten(jax.tree.structure(params), leaves)
+        if M > 1:
+            # zero the off-diagonal (cross-run) blocks: with them pinned at
+            # zero, packed training is exactly M independent runs
+            tree = jax.tree.map(lambda g, mk: g * mk, tree, _masks)
+        return tree
 
     def vag(params, batch, gamma, scale):
         x, V, w = batch["x"], batch["V"], batch["w"]
@@ -353,7 +400,7 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         bbv = batch.get("base_bval", jnp.float32(0.0))
         sums = collocation_sums(params, x, V, w, gamma, scale, bval, blap)
         mu, pde, norm, cots = _loss_and_cots(sums, n)
-        bmean, bgrads = boundary_vg(params, batch["bx"], scale, bbv)
+        (_, bmean), bgrads = boundary_vg(params, batch["bx"], scale, bbv)
         bgrads = jax.tree.map(lambda g: bc_weight * g, bgrads)
         total = pde + bc_weight * bmean + norm_weight * norm
         aux = {"pde": pde, "boundary": bmean, "norm": norm,
@@ -383,7 +430,7 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         cgrads, sums_new = collocation_grads(params, x, V, w, gamma, scale,
                                              cots_prev, bval, blap)
         mu, pde, norm, _ = _loss_and_cots(sums_new, n)   # EXACT current loss
-        bmean, bgrads = boundary_vg(params, batch["bx"], scale, bbv)
+        (_, bmean), bgrads = boundary_vg(params, batch["bx"], scale, bbv)
         bgrads = jax.tree.map(lambda g: bc_weight * g, bgrads)
         total = pde + bc_weight * bmean + norm_weight * norm
         aux = {"pde": pde, "boundary": bmean, "norm": norm,

@@ -72,7 +72,7 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
                           nonlinearity: str = "abs_power",
                           bc_weight: float = 10.0, norm_weight: float = 20.0,
                           tile: int = 1792, interpret: bool = False,
-                          compute_dtype=jnp.float32):
+                          compute_dtype=jnp.float32, n_runs: int = 1):
     """Build eval_fn(params, batch, gamma, scale) -> (total, aux) computing the
     full GPE loss with the fused Pallas kernel for the collocation terms
     (boundary term handled by plain XLA — it is tiny).
@@ -81,12 +81,21 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
     runtime. Matches train.problem.make_loss_fn for a vanilla-ansatz GPESpec.
     compute_dtype=bf16 runs the layer GEMMs at the MXU bf16 rate with f32
     accumulation (channel state, activations, and reductions stay f32).
+
+    n_runs > 1 evaluates M INDEPENDENT runs lane-packed into one net
+    (pallas/packing.py): `layers` stays the PER-RUN architecture, params must
+    be packed (block-diagonal, run m's output on lane m), gamma/scale become
+    (M,) vectors, and eval_fn returns (M,)-vector total/aux. The kernel body
+    is unchanged — only the output lanes read and the global sums are
+    per-run; the per-kernel cost is that of ONE padded run.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     d = layers[0]
     assert layers[-1] == 1, "scalar-output nets only"
+    M = n_runs
+    assert 1 <= M <= LANES // 4, f"n_runs={M} out of range"
     n_layers = len(layers) - 1
     act = activation_triple(activation)
     C = d + 2                              # value + d jacobian rows + laplacian
@@ -96,8 +105,18 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
         wrefs = rest[:-1]
         out_ref = rest[-1]
         i = pl.program_id(0)
-        gamma = gamma_ref[0, 0]
-        scale = scale_ref[0, 0]
+        # per-run scalars broadcast to lane rows: run m's output (and sums)
+        # live on lane m (scalar path M=1 → lane 0, as before)
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        def lane_row(ref):
+            r = jnp.zeros((1, LANES), jnp.float32)
+            for m in range(M):
+                r = r + jnp.where(lane_r == m, ref[0, m], 0.0)
+            return r
+
+        gamma = lane_row(gamma_ref)
+        scale = lane_row(scale_ref)
 
         T = x_ref.shape[0]
         d_pad = x_ref.shape[1]                           # ≥ 8 (lane padding)
@@ -128,9 +147,12 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
                 v = val
 
         # perturbation ansatz support: u = base + scale·net (vanilla passes
-        # zero base tiles — two (T,1) streams, negligible bandwidth)
-        u = bval_ref[...] + scale * v[:, 0:1]            # (T, 1) — stay 2-D
-        lap = blap_ref[...] + scale * lp[:, 0:1]
+        # zero base tiles — two (T,1) streams, negligible bandwidth).
+        # Full-width (T, LANES) elementwise: a (T,1) array occupies the same
+        # (…,128) vector registers, so this costs nothing extra, and run m's
+        # stream rides lane m (lanes ≥ M carry masked-out garbage).
+        u = bval_ref[...] + scale * v                    # (T,1)+(1,L)·(T,L)
+        lap = blap_ref[...] + scale * lp
         V = V_ref[...]
         w = w_ref[...]
         if nonlinearity == "power":
@@ -139,13 +161,16 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
             nl = gamma * jnp.abs(u) ** (p - 1.0) * u
         hu = -kinetic * lap + V * u + nl
 
-        # scatter-free scalar packing: place each partial sum on its lane via
-        # an iota mask (pure elementwise + broadcast, layout-stable)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-        sums = (jnp.where(lane == 0, jnp.sum(hu * hu), 0.0)
-                + jnp.where(lane == 1, jnp.sum(u * hu), 0.0)
-                + jnp.where(lane == 2, jnp.sum(u * u), 0.0)
-                + jnp.where(lane == 3, jnp.sum(u * u * w), 0.0)).astype(jnp.float32)
+        # scatter-free scalar packing: per-run sum k lands on lane 4m+k via
+        # iota masks (pure elementwise + broadcast, layout-stable)
+        T_lane = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1)
+        streams = (hu * hu, u * hu, u * u, u * u * w)
+        sums = jnp.zeros((1, LANES), jnp.float32)
+        for m in range(M):
+            for k, arr in enumerate(streams):
+                s = jnp.sum(jnp.where(T_lane == m, arr, 0.0))
+                sums = sums + jnp.where(lane_r == 4 * m + k, s, 0.0)
+        sums = sums.astype(jnp.float32)
 
         @pl.when(i == 0)
         def _():
@@ -174,8 +199,8 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
         blap = (jnp.zeros((n, 1), jnp.float32) if base_lap is None
                 else base_lap.astype(jnp.float32).reshape(-1, 1))
         in_specs = [
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, max(d, 8)), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -193,11 +218,14 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((1, LANES), jnp.float32),
             interpret=interpret,
-        )(jnp.reshape(jnp.asarray(gamma, jnp.float32), (1, 1)),
-          jnp.reshape(jnp.asarray(scale, jnp.float32), (1, 1)),
+        )(jnp.reshape(jnp.asarray(gamma, jnp.float32), (1, M)),
+          jnp.reshape(jnp.asarray(scale, jnp.float32), (1, M)),
           xp, V.astype(jnp.float32).reshape(-1, 1),
           w.astype(jnp.float32).reshape(-1, 1), bval, blap, *flat)
-        return out[0, 0], out[0, 1], out[0, 2], out[0, 3]
+        if M == 1:
+            return out[0, 0], out[0, 1], out[0, 2], out[0, 3]
+        s = out[0, :4 * M].reshape(M, 4)            # lane 4m+k → [m, k]
+        return s[:, 0], s[:, 1], s[:, 2], s[:, 3]
 
     def eval_fn(params, batch, gamma, scale):
         from gpe_tpu.models import mlp
@@ -210,9 +238,12 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
         pde = (hu2 - 2.0 * mu * uhu + mu * mu * u2) / n
         norm = (u2w - 1.0) ** 2
         bv = mlp.mlp_apply(params, batch["bx"], activation) * scale
+        if M > 1:
+            bv = bv.reshape(-1, M)                 # (B, M), column per run
         if "base_bval" in batch:
-            bv = batch["base_bval"] + bv
-        boundary = jnp.mean(bv * bv)
+            bbv = batch["base_bval"]
+            bv = (bbv.reshape(-1, 1) + bv) if M > 1 else (bbv + bv)
+        boundary = jnp.mean(bv * bv, axis=0) if M > 1 else jnp.mean(bv * bv)
         total = pde + bc_weight * boundary + norm_weight * norm
         return total, {"pde": pde, "boundary": boundary, "norm": norm,
                        "mu": mu, "total": total}

@@ -1,0 +1,111 @@
+"""Lane-packing (pallas/packing.py + n_runs kernels): packed ensembles must
+be exactly M independent runs — per-run losses/μ/grads match the unpacked
+kernels and the off-diagonal (cross-run) gradient blocks are exactly zero."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpe_tpu.models import mlp
+from gpe_tpu.pallas.fused_grad import make_pallas_value_and_grad
+from gpe_tpu.pallas.fused_residual import make_pallas_loss_eval
+from gpe_tpu.pallas.packing import (block_masks, pack_params, packable_runs,
+                                    packed_layers, unpack_params)
+
+LAYERS = (1, 64, 64, 64, 1)
+KW = dict(activation="shifted_tanh", p=3.0, nonlinearity="power",
+          tile=256, sum_tile=256, interpret=True)
+
+
+def _mk(R, layers=LAYERS, n=512, seed=0):
+    pb = jax.vmap(lambda k: mlp.init_mlp(k, layers, "xavier_uniform"))(
+        jax.random.split(jax.random.PRNGKey(seed), R))
+    x = jnp.linspace(-5.0, 5.0, n).reshape(-1, 1)
+    batch = dict(x=x, V=0.5 * x[:, 0] ** 2, w=jnp.full((n,), 10.0 / n),
+                 bx=jnp.array([[-5.0], [5.0]]),
+                 base_val=jnp.sin(x[:, 0]), base_lap=-jnp.sin(x[:, 0]),
+                 base_bval=jnp.zeros(2))
+    return pb, batch
+
+
+def test_packable_runs():
+    assert packable_runs((1, 64, 64, 64, 1)) == 2
+    assert packable_runs((1, 32, 32, 1)) == 4
+    assert packable_runs((2, 100, 100, 100, 1)) == 1   # 100-wide: no packing
+    assert packable_runs((1, 64, 32, 1)) == 1          # non-uniform hidden
+    assert packed_layers((1, 64, 64, 64, 1), 2) == (1, 128, 128, 128, 2)
+
+
+def test_pack_unpack_roundtrip():
+    pb, _ = _mk(4)
+    rt = unpack_params(pack_params(pb, 2), LAYERS, 2)
+    for (w, b), (w0, b0) in zip(rt, pb):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(w0))
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(b0))
+
+
+def test_packed_eval_matches_per_run():
+    pb, batch = _mk(2)
+    gammas = jnp.array([1.0, 2.5])
+    scales = jnp.array([0.01, 0.02])
+    ev1 = make_pallas_loss_eval(LAYERS, **{k: v for k, v in KW.items()
+                                           if k != "sum_tile"})
+    evM = make_pallas_loss_eval(LAYERS, n_runs=2,
+                                **{k: v for k, v in KW.items()
+                                   if k != "sum_tile"})
+    p_u = jax.tree.map(lambda a: a[0], pack_params(pb, 2))
+    tM, auxM = evM(p_u, batch, gammas, scales)
+    for r in range(2):
+        p_r = jax.tree.map(lambda a: a[r], pb)
+        t, aux = ev1(p_r, batch, gammas[r], scales[r])
+        np.testing.assert_allclose(float(tM[r]), float(t), rtol=1e-6)
+        np.testing.assert_allclose(float(auxM["mu"][r]), float(aux["mu"]),
+                                   rtol=1e-6)
+
+
+def test_packed_grads_match_per_run_and_mask_off_diag():
+    pb, batch = _mk(2)
+    gammas = jnp.array([1.0, 2.5])
+    scales = jnp.array([0.01, 0.02])
+    vag1 = make_pallas_value_and_grad(LAYERS, **KW)
+    vagM = make_pallas_value_and_grad(LAYERS, n_runs=2, **KW)
+    p_u = jax.tree.map(lambda a: a[0], pack_params(pb, 2))
+    (tM, auxM), gM = vagM(p_u, batch, gammas, scales)
+    g_runs = unpack_params(jax.tree.map(lambda a: a[None], gM), LAYERS, 2)
+    for r in range(2):
+        p_r = jax.tree.map(lambda a: a[r], pb)
+        (t, _), g = vag1(p_r, batch, gammas[r], scales[r])
+        np.testing.assert_allclose(float(tM[r]), float(t), rtol=1e-6)
+        for li in range(len(LAYERS) - 1):
+            np.testing.assert_allclose(np.asarray(g_runs[li][0][r]),
+                                       np.asarray(g[li][0]),
+                                       rtol=1e-5, atol=1e-8)
+            np.testing.assert_allclose(np.asarray(g_runs[li][1][r]),
+                                       np.asarray(g[li][1]),
+                                       rtol=1e-5, atol=1e-8)
+    for (Wm, _), (gw, _) in zip(block_masks(LAYERS, 2), gM):
+        off = np.asarray(gw) * (1.0 - np.asarray(Wm))
+        assert np.all(off == 0.0)
+
+
+def test_packed_relaxed_mode_m4():
+    layers = (1, 32, 32, 1)
+    pb, batch = _mk(4, layers=layers, n=256, seed=1)
+    gammas = jnp.array([0.5, 1.0, 1.5, 2.0])
+    scales = jnp.ones((4,))
+    kw = dict(activation="tanh", p=3.0, nonlinearity="abs_power",
+              tile=128, sum_tile=128, interpret=True, delayed=True)
+    vag1 = make_pallas_value_and_grad(layers, **kw)
+    vagM = make_pallas_value_and_grad(layers, n_runs=4, **kw)
+    p_u = jax.tree.map(lambda a: a[0], pack_params(pb, 4))
+    stM = vagM.init_state(p_u, batch, gammas, scales)
+    assert stM.shape == (4, 4)
+    (tM, _), _, stM2 = vagM(p_u, batch, gammas, scales, stM)
+    for r in range(4):
+        p_r = jax.tree.map(lambda a: a[r], pb)
+        st = vag1.init_state(p_r, batch, gammas[r], scales[r])
+        (t, _), _, st2 = vag1(p_r, batch, gammas[r], scales[r], st)
+        np.testing.assert_allclose(float(tM[r]), float(t), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(stM2[:, r]), np.asarray(st2),
+                                   rtol=1e-6)
