@@ -304,18 +304,29 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
               for c in cots]
         scal = jnp.stack([g, s_, *cs], axis=1)        # (M, 6) — row per run
 
-        bval = (jnp.zeros((n, 1), jnp.float32) if base_val is None
-                else base_val.astype(jnp.float32).reshape(-1, 1))
-        blap = (jnp.zeros((n, 1), jnp.float32) if base_lap is None
-                else base_lap.astype(jnp.float32).reshape(-1, 1))
+        def base_stream(arr):
+            # None/(n,) shared → (n,1) broadcast; per-run (n,M) → padded to
+            # (n, LANES) so run m's base rides lane m (see fused_residual)
+            if arr is None:
+                return jnp.zeros((n, 1), jnp.float32)
+            arr = jnp.asarray(arr, jnp.float32)
+            if arr.ndim == 1:
+                return arr.reshape(-1, 1)
+            assert arr.shape == (n, M), (arr.shape, n, M)
+            return jnp.zeros((n, LANES), jnp.float32).at[:, :M].set(arr)
+
+        bval = base_stream(base_val)
+        blap = base_stream(base_lap)
         in_specs = [
             pl.BlockSpec((M, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, max(d, 8)), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, bval.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, blap.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
              for a in flat]
         out_specs, out_shape = [], []
@@ -361,7 +372,8 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         bv = mlp.mlp_apply(params, bx, activation) * scale
         if M > 1:
             bb = jnp.asarray(base_bval, jnp.float32)
-            bv = bv + (bb.reshape(-1, 1) if bb.ndim else bb)
+            # scalar/(B,) shared broadcasts across runs; per-run (B, M) as-is
+            bv = bv + (bb.reshape(-1, 1) if bb.ndim == 1 else bb)
             means = jnp.mean(bv * bv, axis=0)             # (M,)
             return jnp.sum(means), means
         m = jnp.mean((base_bval + bv) ** 2)

@@ -180,6 +180,18 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
         def _():
             out_ref[...] = out_ref[...] + sums
 
+    def _base_stream(arr, n):
+        """Base array → kernel stream: None/(n,) shared → (n, 1) broadcast;
+        per-run (n, M) → zero-padded to (n, LANES) so run m's base rides
+        lane m (the kernel's full-width elementwise then needs no change)."""
+        if arr is None:
+            return jnp.zeros((n, 1), jnp.float32)
+        arr = jnp.asarray(arr, jnp.float32)
+        if arr.ndim == 1:
+            return arr.reshape(-1, 1)
+        assert arr.shape == (n, M), (arr.shape, n, M)
+        return jnp.zeros((n, LANES), jnp.float32).at[:, :M].set(arr)
+
     def collocation_sums(params, x, V, w, gamma, scale,
                          base_val=None, base_lap=None):
         n = x.shape[0]
@@ -194,10 +206,8 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
         for W, b in padded:
             flat.extend([W, b.reshape(1, -1)])
 
-        bval = (jnp.zeros((n, 1), jnp.float32) if base_val is None
-                else base_val.astype(jnp.float32).reshape(-1, 1))
-        blap = (jnp.zeros((n, 1), jnp.float32) if base_lap is None
-                else base_lap.astype(jnp.float32).reshape(-1, 1))
+        bval = _base_stream(base_val, n)
+        blap = _base_stream(base_lap, n)
         in_specs = [
             pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -205,8 +215,10 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, bval.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, blap.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
              for a in flat]
 
@@ -241,8 +253,12 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
         if M > 1:
             bv = bv.reshape(-1, M)                 # (B, M), column per run
         if "base_bval" in batch:
-            bbv = batch["base_bval"]
-            bv = (bbv.reshape(-1, 1) + bv) if M > 1 else (bbv + bv)
+            bbv = jnp.asarray(batch["base_bval"])
+            if M > 1:
+                # shared (B,) broadcasts across runs; per-run (B, M) adds as-is
+                bv = bv + (bbv.reshape(-1, 1) if bbv.ndim == 1 else bbv)
+            else:
+                bv = bbv + bv
         boundary = jnp.mean(bv * bv, axis=0) if M > 1 else jnp.mean(bv * bv)
         total = pde + bc_weight * boundary + norm_weight * norm
         return total, {"pde": pde, "boundary": boundary, "norm": norm,

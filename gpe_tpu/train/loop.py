@@ -222,6 +222,8 @@ class EnsembleFitResult(NamedTuple):
     epochs_run: np.ndarray     # (R,)
     loss_history: np.ndarray   # (R, T)
     mu_history: np.ndarray     # (R, T)
+    mu_best: np.ndarray = None  # (R,) μ at the RESTORED best params (the μ
+    # matching `params`; last-epoch μ can sit away from it at the stop point)
 
 
 def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
@@ -293,6 +295,8 @@ def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
     stop = np.asarray(carry.stop_epoch)
     done = np.asarray(carry.done)
     epochs_run = np.where(done, np.minimum(stop, epochs), steps_done)
+    _, aux_best = jax.vmap(lambda p, g, s: _jit_eval(loss_fn)(p, batch, g, s))(
+        carry.best_params, gamma, scale)
     return EnsembleFitResult(
         params=carry.best_params,
         final_params=carry.params,
@@ -301,4 +305,5 @@ def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
         epochs_run=epochs_run,
         loss_history=loss_history,
         mu_history=mu_history,
+        mu_best=np.asarray(aux_best["mu"]),
     )

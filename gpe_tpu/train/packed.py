@@ -145,11 +145,16 @@ def fit_ensemble_packed(spec, params_batch, batch, gamma, scale,
                         epochs: int = 5001, tol: float = 1e-5,
                         patience: int = 2000, check_every: int = 512,
                         lr: float = 1e-3, lr_mode: str = "cosine",
-                        clip_norm: float = 1.0,
+                        clip_norm: float = 1.0, per_run_base: dict = None,
                         interpret: bool = False) -> EnsembleFitResult:
     """fit_ensemble twin running the lane-packed fused kernels. Same result
     contract; the optimizer is built internally (packed_ramp_optimizer) —
     pass lr/lr_mode instead of an optax object.
+
+    per_run_base: optional {"base_val"/"base_lap": (R, n), "base_bval":
+    (R, B)} arrays giving each run ITS OWN perturbation base — this is what
+    lets runs of DIFFERENT modes pack into one kernel (the packed multi-mode
+    continuation); keys present here override the shared `batch` entries.
 
     interpret=True runs the kernels in interpret mode (CPU tests)."""
     from gpe_tpu.train.problem import make_packed_value_and_grad
@@ -169,8 +174,21 @@ def fit_ensemble_packed(spec, params_batch, batch, gamma, scale,
     packed = pack_params(params_batch, M)          # leaves (U, ...)
     check_every = min(check_every, epochs)
 
-    def init_unit(p, g, s):
-        vs = vag.init_state(p, batch, g, s) if stateful else ()
+    # per-unit varying batch entries: (R, n) → (U, n, M), vmapped on axis 0
+    ub = {}
+    if per_run_base:
+        for k, arr in per_run_base.items():
+            a = jnp.asarray(arr, jnp.float32)
+            assert a.shape[0] == R, (k, a.shape)
+            ub[k] = a.reshape(U, M, a.shape[-1]).transpose(0, 2, 1)
+
+    def unit_batch(ubd):
+        b = dict(batch)
+        b.update(ubd)
+        return b
+
+    def init_unit(p, g, s, ubd):
+        vs = (vag.init_state(p, unit_batch(ubd), g, s) if stateful else ())
         return PackedCarry(
             params=p, opt_state=opt.init(p), best_params=p,
             best_loss=jnp.full((M,), jnp.inf, jnp.float32),
@@ -180,13 +198,15 @@ def fit_ensemble_packed(spec, params_batch, batch, gamma, scale,
             epoch=jnp.zeros((), jnp.int32),
             vag_state=vs)
 
-    def chunk(c: PackedCarry, g, s):
+    def chunk(c: PackedCarry, g, s, ubd):
+        ubatch = unit_batch(ubd)
+
         def step(c: PackedCarry, _):
             if stateful:
-                (loss, aux), grads, vstate = vag(c.params, batch, g, s,
+                (loss, aux), grads, vstate = vag(c.params, ubatch, g, s,
                                                  c.vag_state)
             else:
-                (loss, aux), grads = vag(c.params, batch, g, s)
+                (loss, aux), grads = vag(c.params, ubatch, g, s)
                 vstate = c.vag_state
             updates, new_opt = opt.update(grads, c.opt_state, c.params,
                                           value=loss)
@@ -209,14 +229,14 @@ def fit_ensemble_packed(spec, params_batch, batch, gamma, scale,
         return jax.lax.scan(step, c, None, length=check_every)
 
     carry = jax.vmap(init_unit)(
-        jax.tree.map(jnp.asarray, packed), gamma, scale)
+        jax.tree.map(jnp.asarray, packed), gamma, scale, ub)
     run_chunk = jax.jit(jax.vmap(chunk))
 
     losses, mus = [], []
     steps_done = 0
     while steps_done < epochs:
         n = min(check_every, epochs - steps_done)
-        carry, (l_hist, mu_hist) = run_chunk(carry, gamma, scale)
+        carry, (l_hist, mu_hist) = run_chunk(carry, gamma, scale, ub)
         # (U, check, M) → run-major (R, check)
         losses.append(np.asarray(l_hist)[:, :n].transpose(0, 2, 1)
                       .reshape(R, n))
@@ -232,6 +252,18 @@ def fit_ensemble_packed(spec, params_batch, batch, gamma, scale,
     epochs_run = np.where(done, np.minimum(stop, epochs), steps_done)
     best = unpack_params(carry.best_params, spec.layers, M)
     final = unpack_params(carry.params, spec.layers, M)
+
+    # μ at the restored best params (one extra packed step's worth of work)
+    def best_mu(p, g, s, ubd):
+        if stateful:
+            vs = vag.init_state(p, unit_batch(ubd), g, s)
+            (_, aux), _, _ = vag(p, unit_batch(ubd), g, s, vs)
+        else:
+            (_, aux), _ = vag(p, unit_batch(ubd), g, s)
+        return aux["mu"]
+
+    mu_best = np.asarray(jax.jit(jax.vmap(best_mu))(
+        carry.best_params, gamma, scale, ub)).reshape(R)
     return EnsembleFitResult(
         params=best, final_params=final,
         best_loss=np.asarray(carry.best_loss).reshape(R),
@@ -239,4 +271,115 @@ def fit_ensemble_packed(spec, params_batch, batch, gamma, scale,
         epochs_run=epochs_run,
         loss_history=loss_history,
         mu_history=mu_history,
+        mu_best=mu_best,
+    )
+
+
+def train_plpinn_modes_packed(spec, gamma_values, modes=(0, 1), epochs: int = 5001,
+                              tol: float = 0.0, patience: int = 2000,
+                              perturb_const: float = 0.01, lr: float = 1e-3,
+                              seed: int = 0, pretrain_epochs: int = 2000,
+                              check_every: int = 512, keep_params: bool = True,
+                              rebase: bool = False,
+                              lr_mode: str = "loss_faithful",
+                              interpret: bool = False, verbose: bool = False):
+    """PL-PINN continuation with ALL modes advancing in lane-packed kernels.
+
+    The sequential reference protocol (plpinn.train_plpinn) trains one
+    (mode, γ-ramp) at a time; every mode shares the same collocation grid and
+    γ ramp and differs only in its analytic base and q-scale — exactly the
+    per-run quantities the packed kernels carry. Packing the mode axis runs
+    the whole multi-mode table sweep in len(modes)/M of the kernel
+    invocations (M = lane budget // width; 2 for the width-64 paper spec).
+
+    Semantics per mode match train_plpinn: pretrain → normal_const →
+    q-scale, per-γ Adam ramp with the lr_mode LR behavior, early stop
+    (tol/patience), best-restore, warm start, optional incremental-base
+    rebasing (PL-PINN-R). Returns a plpinn.PLPINNResult.
+    """
+    from gpe_tpu.models import mlp as _mlp
+    from gpe_tpu.train.plpinn import PLPINNResult, _rebase
+    from gpe_tpu.train.pretrain import pretrain_to_base
+    from gpe_tpu.train.problem import base_triple, make_batch
+
+    R = len(modes)
+    gamma_values = [float(g) for g in gamma_values]
+    gamma_values = sorted(gamma_values,
+                          reverse=all(g <= 0 for g in gamma_values)
+                          and any(g < 0 for g in gamma_values))
+    batch = make_batch(spec, modes[0])
+    shared = {k: v for k, v in batch.items()
+              if k not in ("base_val", "base_grad", "base_lap", "base_bval")}
+
+    # per-mode bases, pretrains, q-scales (host-side, one-time)
+    base_val, base_lap, base_bval = [], [], []
+    params_list, scales, consts = [], [], []
+    for mi, mode in enumerate(modes):
+        b = base_triple(spec, mode, batch["x"])
+        base_val.append(np.asarray(b.value, np.float32))
+        base_lap.append(np.asarray(b.lap, np.float32))
+        base_bval.append(np.asarray(
+            base_triple(spec, mode, batch["bx"]).value, np.float32))
+        p = _mlp.init_mlp(jax.random.PRNGKey(seed + 1000 * mi), spec.layers,
+                          "xavier_uniform")
+        p, _ = pretrain_to_base(p, batch["x"], base_val[-1], spec.activation,
+                                epochs=pretrain_epochs, lr=1e-3)
+        const = float(jnp.max(_mlp.mlp_apply(p, batch["x"], spec.activation)))
+        consts.append(const)
+        scales.append(perturb_const / const)
+        params_list.append(p)
+    params_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+    scale_vec = jnp.asarray(scales, jnp.float32)
+    prb = {"base_val": np.stack(base_val), "base_lap": np.stack(base_lap),
+           "base_bval": np.stack(base_bval)}
+
+    mus = {m: [] for m in modes}
+    by_gamma_params = {m: {} for m in modes}
+    by_gamma_hist = {m: {} for m in modes}
+    by_gamma_epochs = {m: {} for m in modes}
+    for gamma in gamma_values:
+        ens = fit_ensemble_packed(spec, params_batch, shared, gamma,
+                                  scale_vec, epochs=epochs, tol=tol,
+                                  patience=patience, check_every=check_every,
+                                  lr=lr, lr_mode=lr_mode, per_run_base=prb,
+                                  interpret=interpret)
+        params_batch = jax.tree.map(jnp.asarray, ens.params)  # best restored
+        for r, m in enumerate(modes):
+            mus[m].append((gamma, float(ens.mu_best[r])))
+            if keep_params:
+                by_gamma_params[m][gamma] = jax.tree.map(
+                    lambda a, r=r: np.asarray(a[r]), ens.params)
+            by_gamma_hist[m][gamma] = {"loss": ens.loss_history[r],
+                                       "mu": ens.mu_history[r]}
+            by_gamma_epochs[m][gamma] = int(ens.epochs_run[r])
+        if verbose:
+            print(f"γ={gamma:g}: μ="
+                  + " ".join(f"{float(ens.mu_best[r]):.5f}"
+                             for r in range(R)), flush=True)
+        if rebase:
+            # per-run incremental-base fold (plpinn._rebase), host-side
+            new_p = []
+            for r, m in enumerate(modes):
+                batch_r = dict(shared)
+                batch_r["base_val"] = jnp.asarray(prb["base_val"][r])
+                batch_r["base_lap"] = jnp.asarray(prb["base_lap"][r])
+                batch_r["base_bval"] = jnp.asarray(prb["base_bval"][r])
+                # _rebase folds via vgl and needs base_grad; carry a dummy
+                # (the kernel path never reads it) kept consistent anyway
+                batch_r["base_grad"] = jnp.zeros_like(shared["x"])
+                p_r = jax.tree.map(lambda a, r=r: a[r], params_batch)
+                batch_r, p_r = _rebase(spec, batch_r, p_r, float(scale_vec[r]))
+                prb["base_val"][r] = np.asarray(batch_r["base_val"])
+                prb["base_lap"][r] = np.asarray(batch_r["base_lap"])
+                prb["base_bval"][r] = np.asarray(batch_r["base_bval"])
+                new_p.append(p_r)
+            params_batch = jax.tree.map(lambda *xs: jnp.stack(xs), *new_p)
+
+    return PLPINNResult(
+        params_by_mode=by_gamma_params,
+        mu_table={m: mus[m] for m in modes},
+        training_history=by_gamma_hist,
+        constant_history={m: consts[i] for i, m in enumerate(modes)},
+        epochs_history=by_gamma_epochs,
+        polished={},
     )

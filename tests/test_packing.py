@@ -170,3 +170,21 @@ def test_fit_ensemble_packed_loss_faithful_lr():
     np.testing.assert_allclose(ensP.best_loss, ens.best_loss, rtol=1e-4)
     np.testing.assert_allclose(ensP.loss_history, ens.loss_history,
                                rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_plpinn_modes_packed_physics():
+    """Two modes advance in lane-packed kernels with per-run bases; the γ=0
+    eigenvalues must recover 2m+1 and μ must grow with repulsive γ."""
+    from gpe_tpu.train import GPESpec
+    from gpe_tpu.train.packed import train_plpinn_modes_packed
+
+    spec = GPESpec(n_points=512, layers=(1, 32, 32, 1), activation="tanh")
+    res = train_plpinn_modes_packed(spec, [0.0, 1.0], modes=(0, 1),
+                                    epochs=700, tol=1e-6, patience=10**9,
+                                    pretrain_epochs=500, check_every=350,
+                                    interpret=True, lr_mode="cosine")
+    m0, m1 = dict(res.mu_table[0]), dict(res.mu_table[1])
+    assert abs(m0[0.0] - 1.0) < 0.05
+    assert abs(m1[0.0] - 3.0) < 0.15
+    assert m0[1.0] > m0[0.0] and m1[1.0] > m1[0.0]
