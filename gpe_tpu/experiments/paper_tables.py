@@ -123,7 +123,7 @@ def _lm_polish_mus(spec, mode, checkpoints, pl_result, normal_const,
 def run_family(family: str, out_dir: str, epochs: int = 5001,
                tol: float = 0.0, patience: int = 2000,
                ramp_step: float = 0.5, seed: int = 42,
-               lr_mode: str = "loss_faithful",
+               lr_mode: str = "loss_faithful", packed: bool = False,
                verbose: bool = True) -> dict:
     """tol=0 (default) runs every method to the full ≤5001-epoch budget and
     keeps the best state — the reference's tol=1e-5 early exit saves time but
@@ -157,19 +157,42 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
     if verbose:
         print("oracle:", json.dumps({str(m): mu_ref[m] for m in modes}), flush=True)
 
+    # packed=True trains ALL modes lane-packed into each fused kernel
+    # (train/packed.py): same per-mode protocol, len(modes)/M of the kernel
+    # invocations. Falls back per-mode when the spec is ineligible.
+    pl_all = plr_all = None
+    if packed and len(modes) >= 2:
+        from gpe_tpu.train.packed import (packed_runs_available,
+                                          train_plpinn_modes_packed)
+        if packed_runs_available(spec, len(modes)):
+            pk = dict(epochs=epochs, tol=tol, patience=patience, seed=seed,
+                      lr_mode=lr_mode, verbose=verbose)
+            pl_all = train_plpinn_modes_packed(spec, ramp, modes=modes,
+                                               keep_params=True, **pk)
+            plr_all = train_plpinn_modes_packed(spec, ramp, modes=modes,
+                                                keep_params=False,
+                                                rebase=True, **pk)
+        elif verbose:
+            print("packed requested but spec ineligible; per-mode fallback",
+                  flush=True)
+
     rows, raw_rows = [], []
     for mode in modes:
-        # PL-PINN: one continuation ramp, μ read off at the checkpoints
-        pl = train_plpinn(spec, ramp, modes=(mode,), epochs=epochs, tol=tol,
-                          patience=patience, seed=seed, keep_params=True,
-                          lr_mode=lr_mode, verbose=False)
+        if pl_all is not None:
+            pl, plr = pl_all, plr_all
+        else:
+            # PL-PINN: one continuation ramp, μ read off at the checkpoints
+            pl = train_plpinn(spec, ramp, modes=(mode,), epochs=epochs,
+                              tol=tol, patience=patience, seed=seed,
+                              keep_params=True, lr_mode=lr_mode, verbose=False)
+            # PL-PINN-R: incremental-base (rebased) continuation — same
+            # perturbation-learning family, each γ step learns only the
+            # increment ψ(γ+Δγ)−ψ(γ) (plpinn._rebase); no post-fit polish
+            plr = train_plpinn(spec, ramp, modes=(mode,), epochs=epochs,
+                               tol=tol, patience=patience, seed=seed,
+                               keep_params=False, rebase=True,
+                               lr_mode=lr_mode, verbose=False)
         pl_mu = dict(pl.mu_table[mode])
-        # PL-PINN-R: incremental-base (rebased) continuation — same
-        # perturbation-learning family, each γ step learns only the increment
-        # ψ(γ+Δγ)−ψ(γ) (plpinn._rebase); no post-fit polish
-        plr = train_plpinn(spec, ramp, modes=(mode,), epochs=epochs, tol=tol,
-                           patience=patience, seed=seed, keep_params=False,
-                           rebase=True, lr_mode=lr_mode, verbose=False)
         plr_mu = dict(plr.mu_table[mode])
         # PL-PINN + Levenberg-Marquardt residual polish (ours, beyond the
         # reference): second-order least-squares refinement of the
@@ -258,10 +281,12 @@ def main(argv=None):
     ap.add_argument("--ramp-step", type=float, default=0.5)
     ap.add_argument("--lr-mode", default="loss_faithful",
                     choices=("loss_faithful", "cosine", "constant"))
+    ap.add_argument("--packed", action="store_true",
+                    help="train all modes lane-packed into each fused kernel")
     args = ap.parse_args(argv)
     out = args.out or f"runs/comparison_results_{args.family}"
     run_family(args.family, out, epochs=args.epochs, ramp_step=args.ramp_step,
-               lr_mode=args.lr_mode)
+               lr_mode=args.lr_mode, packed=args.packed)
     return 0
 
 
