@@ -73,6 +73,30 @@ from gpe_tpu.pallas.fused_residual import (LANES, _pad_params,
                                            make_pallas_loss_eval)
 
 
+def grad_kernel_tile_cap(layers: Sequence[int], n_runs: int = 1,
+                         budget_bytes: int = 16 * 2**20) -> int:
+    """Largest safe row-tile for the pass-2 gradient kernel, from a
+    per-point VMEM model of its resident f32 streams.
+
+    Per hidden layer the kernel stores (σ, σ′, jz×d, lz) plus the derived
+    (σ″, σ‴-term, g²) — (6+d) width-streams each; the final layer holds
+    (jz×d, lz); the reverse sweep keeps ~(2d+4) live cotangent streams; the
+    base-value/Laplacian inputs add 1 (shared) or LANES (per-run packed)
+    lanes apiece. Calibrated against the measured width-128 / 3-hidden /
+    d=2 point: 4880 f32/pt (Mosaic reported 16.68 MiB at tile=896 vs the
+    16 MiB scoped-VMEM limit) vs 4492 modeled — a 1.09 fudge; we apply
+    1.15 and budget 15.5 MiB so the pick has real headroom."""
+    d = layers[0]
+    n_hidden = len(layers) - 2
+    W = max(LANES, ((max(layers[1:-1], default=1) + LANES - 1) // LANES)
+            * LANES)
+    base_w = LANES if n_runs > 1 else 1
+    floats = (W * ((6 + d) * n_hidden + (d + 1) + (2 * d + 4))
+              + max(d, 8) + 2 + 2 * base_w)
+    per_pt = int(floats * 1.15) * 4
+    return max(8, (int(budget_bytes * 0.96875) // per_pt) // 8 * 8)
+
+
 def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                                p: float = 3.0, kinetic: float = 1.0,
                                nonlinearity: str = "abs_power",

@@ -334,8 +334,9 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 896,
 
     if os.environ.get("GPE_TPU_NO_FUSED"):      # operational kill switch
         return None
+    from gpe_tpu.pallas.fused_grad import grad_kernel_tile_cap
     n = spec.n_points ** spec.dim
-    tile = _pick_tile(n, tile_cap)
+    tile = _pick_tile(n, min(tile_cap, grad_kernel_tile_cap(spec.layers)))
     sum_tile = _pick_tile(n, sum_tile_cap)
     # The fused path wins at scale (50k-pt 2D, width>=100: ~6x the XLA step)
     # but loses on small 1D problems. Round-2 A/B on the 4000-pt width-64
@@ -388,8 +389,10 @@ def make_packed_value_and_grad(spec: GPESpec, n_runs: int,
 
     if os.environ.get("GPE_TPU_NO_FUSED"):      # operational kill switch
         return None
+    from gpe_tpu.pallas.fused_grad import grad_kernel_tile_cap
     n = spec.n_points ** spec.dim
-    tile = _pick_tile(n, tile_cap)
+    tile = _pick_tile(n, min(tile_cap,
+                             grad_kernel_tile_cap(spec.layers, n_runs)))
     sum_tile = _pick_tile(n, sum_tile_cap)
     ok = (n_runs >= 2 and packable_runs(spec.layers) >= n_runs
           and spec.geometry == "square" and not spec.hard_bc
