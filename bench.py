@@ -173,9 +173,10 @@ def bench_jax():
     #     fixed points; tests/test_pallas_grad.py::test_delayed_mode_*)
     dt_train_relaxed = float("nan")
     try:
-        from gpe_tpu.pallas.fused_grad import make_pallas_value_and_grad
+        from gpe_tpu.pallas.fused_grad import (grad_kernel_tile_cap,
+                                               make_pallas_value_and_grad)
         from gpe_tpu.train.problem import _pick_tile
-        tile = _pick_tile(n_pts, 896)
+        tile = _pick_tile(n_pts, min(896, grad_kernel_tile_cap(spec.layers)))
         sum_tile = _pick_tile(n_pts, 1792)
         if tile and sum_tile:
             vag_d = make_pallas_value_and_grad(
