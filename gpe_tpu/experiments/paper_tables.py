@@ -21,7 +21,6 @@ import csv
 import json
 import os
 import time
-from dataclasses import replace
 
 
 CHECKPOINTS = (0.0, 20.0, 40.0, 60.0, 80.0, 100.0)
@@ -41,20 +40,25 @@ def _families():
         "p3_box": dict(
             spec=GPESpec(lb=0.0, ub=1.0, potential="box", basis="box",
                          hard_bc=True, p=3.0, **paper),
-            modes=(0, 1), checkpoints=CHECKPOINTS),
+            modes=(0, 1, 2, 3, 4, 5), checkpoints=CHECKPOINTS),
         "p3_gravity_well": dict(
             spec=GPESpec(lb=0.0, ub=35.0, potential="linear", basis="airy",
                          p=3.0, **paper),
-            modes=(0, 1), checkpoints=CHECKPOINTS),
+            modes=(0, 1, 2, 3, 4, 5), checkpoints=CHECKPOINTS),
+        # γ grid matches the reference artifact (0 … −20 step −4, modes 0–5:
+        # comparison_results_neg_int_strength_p3_harmonic/raw_comparison_results.csv);
+        # beyond γ≈−20 the attractive branch steepens sharply (soliton
+        # regime) and the float64 Newton oracle itself branch-hops by −40
         "neg_p3_harmonic": dict(
             spec=GPESpec(lb=-10.0, ub=10.0, potential="harmonic",
                          basis="hermite", p=3.0, **paper),
-            modes=(0,), checkpoints=(0.0, -8.0, -16.0, -24.0, -32.0, -40.0),
+            modes=(0, 1, 2, 3, 4, 5),
+            checkpoints=(0.0, -4.0, -8.0, -12.0, -16.0, -20.0),
             gamma_step=-0.5),
         "p4_harmonic": dict(
             spec=GPESpec(lb=-10.0, ub=10.0, potential="harmonic",
                          basis="hermite", p=4.0, **paper),
-            modes=(0,), checkpoints=CHECKPOINTS),
+            modes=(0, 1, 2, 3, 4, 5), checkpoints=CHECKPOINTS),
         "p8_harmonic": dict(
             spec=GPESpec(lb=-10.0, ub=10.0, potential="harmonic",
                          basis="hermite", p=8.0, **paper),
@@ -138,7 +142,8 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
     jax.config.update("jax_default_matmul_precision", "highest")
 
     from gpe_tpu.train import train_plpinn
-    from gpe_tpu.train.compare import train_curriculum_ramp, train_single_model
+    from gpe_tpu.train.compare import (train_curriculum_ramp,
+                                       train_vanilla_checkpoints)
     from gpe_tpu.utils.metrics import write_error_table
 
     fam = _families()[family]
@@ -209,20 +214,24 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
         cur_mu = train_curriculum_ramp(spec, checkpoints, mode, epochs=epochs,
                                        tol=max(tol, 1e-5), patience=patience,
                                        seed=seed, lr_mode=lr_mode)
+        # Vanilla: one pretrain + ONE vmapped fit over the 6 checkpoint γs
+        # (per-run gamma in fit_ensemble) — same per-run protocol as the
+        # earlier sequential train_single_model loop, ~6× fewer device
+        # programs per mode
+        van_mu = train_vanilla_checkpoints(spec, checkpoints, mode,
+                                           epochs=epochs, tol=tol,
+                                           patience=patience, seed=seed,
+                                           lr_mode=lr_mode)
 
         per_method_errs = {"PL-PINN": [], "PL-PINN-R": [], "PL-PINN+LM": [],
                            "Curriculum Training": [], "Vanilla PINN": []}
         for g in checkpoints:
             ref = mu_ref[mode][g]
-            van = train_single_model(replace(spec, use_perturbation=False),
-                                     g, mode, use_perturbation=False,
-                                     epochs=epochs, tol=tol, patience=patience,
-                                     seed=seed)
             for method, mu in (("PL-PINN", pl_mu[g]),
                                ("PL-PINN-R", plr_mu[g]),
                                ("PL-PINN+LM", lm_mu[g]),
                                ("Curriculum Training", cur_mu[g]),
-                               ("Vanilla PINN", van.mu)):
+                               ("Vanilla PINN", van_mu[g])):
                 err = abs(mu - ref)
                 rel = err / max(abs(ref), 1e-30)
                 raw_rows.append({"Method": method, "Mode": mode, "Gamma": g,
@@ -231,7 +240,7 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
                 per_method_errs[method].append((err, rel))
             if verbose:
                 print(f"mode {mode} γ={g:g}: ref={ref:.6f} "
-                      f"pl={pl_mu[g]:.6f} cur={cur_mu[g]:.6f} van={van.mu:.6f}",
+                      f"pl={pl_mu[g]:.6f} cur={cur_mu[g]:.6f} van={van_mu[g]:.6f}",
                       flush=True)
 
         for method, errs in per_method_errs.items():

@@ -84,6 +84,48 @@ def train_single_model(spec: GPESpec, gamma: float, mode: int = 0,
                      res.mu_history, res.params)
 
 
+def train_vanilla_checkpoints(spec: GPESpec, gammas, mode: int = 0,
+                              epochs: int = 5001, tol: float = 1e-5,
+                              patience: int = 2000, lr: float = 1e-3,
+                              seed: int = 42, pretrain_epochs: int = 2000,
+                              check_every: int = 512,
+                              lr_mode: str = "loss_faithful") -> dict:
+    """The vanilla-PINN column of the comparison tables, batched: one
+    pretrain per mode and ONE vmapped fit_ensemble over the checkpoint γs
+    (per-run gamma) instead of len(gammas) sequential pretrain+fit cycles —
+    identical per-run protocol to
+    train_single_model(use_perturbation=False) (same pretrained start, loss,
+    optimizer, budget; parity asserted in tests/test_compare.py).
+
+    Returns {gamma: mu_best}."""
+    spec = replace(spec, use_perturbation=False)
+    batch = make_batch(spec, mode)
+    loss_fn = make_loss_fn(spec)
+    from gpe_tpu.train.plpinn import ramp_optimizer
+    from gpe_tpu.train.problem import make_fused_value_and_grad
+    fused_vag = make_fused_value_and_grad(spec)
+    params = mlp.init_mlp(jax.random.PRNGKey(seed), spec.layers,
+                          "xavier_uniform")
+    target = np.asarray(base_triple(spec, mode, batch["x"]).value)
+    apply_fn = None
+    if spec.hard_bc:
+        from gpe_tpu.models.ansatz import box_sine_factor
+        factor = box_sine_factor(spec.lb, spec.ub)
+
+        def apply_fn(p, x, act):
+            return mlp.mlp_apply(p, x, act) * factor(x).value
+    params, _ = pretrain_to_base(params, batch["x"], target, spec.activation,
+                                 epochs=pretrain_epochs, apply_fn=apply_fn)
+    gs = [float(g) for g in gammas]
+    pb = jax.tree.map(lambda a: jnp.broadcast_to(a, (len(gs),) + a.shape),
+                      params)
+    res = fit_ensemble(loss_fn, ramp_optimizer(lr, lr_mode), pb, batch,
+                       jnp.asarray(gs, jnp.float32), 1.0, epochs=epochs,
+                       tol=tol, patience=patience, check_every=check_every,
+                       value_and_grad_fn=fused_vag)
+    return {g: float(m) for g, m in zip(gs, res.mu_best)}
+
+
 def train_curriculum_ramp(spec: GPESpec, gammas, mode: int = 0,
                           epochs: int = 5001, tol: float = 1e-5,
                           patience: int = 2000, lr: float = 1e-3,

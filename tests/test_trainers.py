@@ -131,3 +131,25 @@ def test_rebase_preserves_solution_at_rebase_point(hard_bc):
     loss2, aux2 = loss_fn(params2, batch2, gamma, scale)
     assert abs(float(aux2["mu"]) - float(aux0["mu"])) < 5e-2
     assert abs(float(loss2) - float(loss0)) < max(5e-2, 0.1 * abs(float(loss0)))
+
+
+def test_vanilla_checkpoints_matches_single_model():
+    # the batched vanilla column (one vmapped fit over per-run γ) runs the
+    # same protocol as the sequential train_single_model loop (same
+    # pretrained start, loss, optimizer, budget). vmap batches the GEMMs so
+    # f32 reduction order differs and trajectories drift — agreement is to
+    # the training-noise band, not bitwise.
+    from gpe_tpu.train.compare import (train_single_model,
+                                       train_vanilla_checkpoints)
+    spec = GPESpec(**SMALL)
+    gs = [0.0, 1.5]
+    batched = train_vanilla_checkpoints(spec, gs, mode=0, epochs=300,
+                                        tol=0.0, patience=10**9,
+                                        pretrain_epochs=300, check_every=150)
+    for g in gs:
+        seq = train_single_model(spec, g, 0, use_perturbation=False,
+                                 epochs=300, tol=0.0, patience=10**9,
+                                 pretrain_epochs=300, check_every=150)
+        assert abs(batched[g] - seq.mu) < 5e-3, (g, batched[g], seq.mu)
+    # physics anchor: γ=0 ground state has μ=1 exactly
+    assert abs(batched[0.0] - 1.0) < 5e-2
