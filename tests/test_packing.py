@@ -188,3 +188,19 @@ def test_train_plpinn_modes_packed_physics():
     assert abs(m0[0.0] - 1.0) < 0.05
     assert abs(m1[0.0] - 3.0) < 0.15
     assert m0[1.0] > m0[0.0] and m1[1.0] > m1[0.0]
+
+
+def test_grad_kernel_tile_cap_models_measured_vmem():
+    # calibration anchor: width-128 / 3-hidden / d=2 measured 16.68 MiB at
+    # tile=896 (Mosaic scoped-VMEM failure on the 50k-pt flagship) — the cap
+    # must stay below 896 there and keep 1-D paper specs at full tile
+    from gpe_tpu.pallas.fused_grad import grad_kernel_tile_cap
+    cap2d = grad_kernel_tile_cap((2, 128, 128, 128, 1))
+    assert cap2d < 896
+    # measured: 4880 f32/pt -> the pick must actually fit the 16 MiB scope
+    assert cap2d * 4880 * 4 <= 16 * 2**20
+    # 1-D width-64 (padded to 128) keeps a >=896 cap (fits comfortably)
+    assert grad_kernel_tile_cap((1, 64, 64, 64, 1)) >= 896
+    # packed runs add per-run base lanes -> cap can only shrink
+    assert grad_kernel_tile_cap((1, 64, 64, 64, 1), n_runs=8) <= \
+        grad_kernel_tile_cap((1, 64, 64, 64, 1))
