@@ -39,15 +39,6 @@ from gpe_tpu.train.loop import fit
 from gpe_tpu.train.plpinn import ramp_optimizer
 from gpe_tpu.train.pretrain import pretrain_to_base
 from gpe_tpu.train.problem import GPESpec, base_triple, make_batch, make_loss_fn
-from gpe_tpu.train.schedules import cosine_warm_restarts, scale_by_loss_as_step
-
-
-def warmup_faithful(lr: float, warm: float):
-    sched = cosine_warm_restarts(lr, T_0=200, T_mult=2, eta_min=1e-6)
-    return optax.chain(
-        optax.clip_by_global_norm(1.0), optax.scale_by_adam(),
-        scale_by_loss_as_step(sched),
-        optax.scale_by_schedule(lambda c: jnp.minimum(1.0, c / warm)))
 
 
 def main():
@@ -77,7 +68,7 @@ def main():
         ("B_lf_1e-4", p_std, ramp_optimizer(1e-4, "loss_faithful")),
         ("C_const_1e-4", p_std,
          optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))),
-        ("D_warmup200_lf_1e-3", p_std, warmup_faithful(1e-3, 200.0)),
+        ("D_warmup200_lf_1e-3", p_std, ramp_optimizer(1e-3, "warmup_faithful")),
         ("E_deep_pretrain_lf_1e-3", p_deep, ramp_optimizer(1e-3, "loss_faithful")),
     ]
     for g, ref in mu_ref.items():

@@ -60,6 +60,20 @@ def ramp_optimizer(lr: float = 1e-3, lr_mode: str = "loss_faithful"):
                            scale_by_loss_as_step(sched))
     if lr_mode == "constant":
         return make_optimizer("adam", lr, clip_norm=1.0)
+    if lr_mode == "warmup_faithful":
+        # loss_faithful plus a 200-step linear LR warmup. Motivation
+        # (benchmarks/ab_p16_baseline.py): a warm start sitting in a sharp
+        # minimum (the pretrained analytic base at stiff p) is destroyed by
+        # Adam's first full-LR step — the direct-net baselines never
+        # re-descend below their initial loss and best-restore freezes them
+        # at the pretrained state. Warmup lets Adam's moments calibrate
+        # before the step size reaches base LR.
+        import optax
+        sched = cosine_warm_restarts(lr, T_0=200, T_mult=2, eta_min=1e-6)
+        return optax.chain(
+            optax.clip_by_global_norm(1.0), optax.scale_by_adam(),
+            scale_by_loss_as_step(sched),
+            optax.scale_by_schedule(lambda c: jnp.minimum(1.0, c / 200.0)))
     raise ValueError(f"unknown lr_mode {lr_mode!r}")
 
 
