@@ -1,0 +1,116 @@
+"""Ours-vs-reference parity table generator.
+
+Reads every regenerated comparison family under runs/comparison_results_*/
+and the reference's committed counterpart under
+/root/reference/Gross-Pitaevskii/src/final/refine/comparison_results_*/
+(paper_style_results.csv on both sides) and emits a per-(family, mode)
+markdown table of mean-|Δμ| errors: our PL-PINN / PL-PINN-R / PL-PINN+LM /
+Curriculum / Vanilla columns against the reference's PL-PINN / Curriculum /
+Regular-or-Vanilla columns.
+
+Caveats printed with the table:
+- Our errors are measured against our float64 Newton-continuation FDM
+  oracle; the reference's against unspecified "reference values" that its
+  own artifacts cannot reproduce (RESULTS.md provenance audit), so relative
+  errors are the only apples-to-apples column for the box/gravity families
+  where the μ normalization differs.
+
+Run: python -m gpe_tpu.experiments.reference_compare [--write runs/reference_parity]
+"""
+from __future__ import annotations
+
+import csv
+import os
+
+REF_ROOT = "/root/reference/Gross-Pitaevskii/src/final/refine"
+
+# ours dir name -> reference dir name
+FAMILIES = {
+    "p3_harmonic": "p3_harmonic",
+    "p3_box": "p3_box",
+    "p3_gravity_well": "p3_gravity_well",
+    "p3_gaussian": "p3_gaussian",
+    "p4_harmonic": "p4_harmonic",
+    "p8_harmonic": "p8_harmonic",
+    "p16_harmonic": "p16_harmonic",
+    "neg_p3_harmonic": "neg_int_strength_p3_harmonic",
+}
+
+# method-name normalization (reference uses both "Regular PINN" and
+# "Vanilla PINN" across families)
+REF_METHODS = {"PL-PINN": "PL", "PL-PINN (ours)": "PL",
+               "Curriculum Training": "Curriculum",
+               "Regular PINN": "Vanilla", "Vanilla PINN": "Vanilla"}
+OUR_METHODS = {"PL-PINN": "PL", "PL-PINN-R": "PL-R", "PL-PINN+LM": "PL+LM",
+               "Curriculum Training": "Curriculum",
+               "Vanilla PINN": "Vanilla"}
+
+
+def _load(path: str, mapping: dict) -> dict:
+    """{(mode, method): (abs_err, rel_err_pct)} from a paper_style CSV."""
+    out = {}
+    if not os.path.exists(path):
+        return out
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f):
+            method = mapping.get(row["Method"].strip())
+            if method is None:
+                continue
+            mode = row["Mode"].strip()
+            abs_e = float(row["abs_err"].replace("*", ""))
+            rel_key = "rel_err_pct" if "rel_err_pct" in row else "rel_err"
+            rel = float(row[rel_key].replace("*", "").replace("%", ""))
+            out[(mode, method)] = (abs_e, rel)
+    return out
+
+
+def build_table(runs_root: str = "runs") -> str:
+    lines = [
+        "# Parity vs the reference's published comparison tables",
+        "",
+        "Mean-over-γ |Δμ| per (family, mode). Ours vs our float64 FDM oracle;",
+        "reference vs its unspecified published values (see RESULTS.md",
+        "provenance audit). `rel%` columns are the apples-to-apples",
+        "comparison where μ normalization differs (box/gravity/gaussian).",
+        "",
+        "| family | mode | ours PL | ours PL-R | ours PL+LM | ref PL | "
+        "ours Curr | ref Curr | ours Van | ref Van | ours PL rel% | ref PL rel% |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    fmt = lambda v: f"{v:.2e}" if v is not None else "—"
+    for fam, ref_fam in FAMILIES.items():
+        ours = _load(os.path.join(runs_root, f"comparison_results_{fam}",
+                                  "paper_style_results.csv"), OUR_METHODS)
+        ref = _load(os.path.join(REF_ROOT, f"comparison_results_{ref_fam}",
+                                 "paper_style_results.csv"), REF_METHODS)
+        if not ours:
+            continue
+        modes = sorted({m for m, _ in ours}, key=lambda s: int(s.split()[-1]))
+        for mode in modes:
+            g = lambda d, meth, i=0: (d.get((mode, meth)) or (None, None))[i]
+            lines.append(
+                f"| {fam} | {mode.split()[-1]} | {fmt(g(ours,'PL'))} | "
+                f"{fmt(g(ours,'PL-R'))} | {fmt(g(ours,'PL+LM'))} | "
+                f"{fmt(g(ref,'PL'))} | {fmt(g(ours,'Curriculum'))} | "
+                f"{fmt(g(ref,'Curriculum'))} | {fmt(g(ours,'Vanilla'))} | "
+                f"{fmt(g(ref,'Vanilla'))} | {fmt(g(ours,'PL',1))} | "
+                f"{fmt(g(ref,'PL',1))} |")
+    return "\n".join(lines) + "\n"
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write", default=None,
+                    help="directory to write parity.md into")
+    args = ap.parse_args()
+    table = build_table()
+    print(table)
+    if args.write:
+        os.makedirs(args.write, exist_ok=True)
+        with open(os.path.join(args.write, "parity.md"), "w") as f:
+            f.write(table)
+
+
+if __name__ == "__main__":
+    main()
