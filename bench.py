@@ -217,7 +217,10 @@ def bench_jax():
     # 4. fused Pallas kernel — whole forward-Laplacian MLP + Hamiltonian +
     #    loss reductions VMEM-resident in one kernel (headline path)
     dt_pallas, pallas_rel_err = float("nan"), None
-    for tile in (3584, 1792):     # 3584 is ~13% faster; fall back on VMEM limits
+    # larger tiles amortize better (~13% from 1792→3584); fall back down the
+    # list on VMEM limits (the per-run base streams put 3584 84K over the
+    # 16 MiB scope at width-128, so 3136 is the usual pick there)
+    for tile in (3584, 3136, 1792):
         try:
             from gpe_tpu.pallas import make_pallas_loss_eval
             pev = make_pallas_loss_eval(
