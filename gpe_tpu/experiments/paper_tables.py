@@ -246,8 +246,14 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
         # full budget: excited modes are UNSTABLE minima for a direct net,
         # and running a drifting fit to 5001 epochs lets best-restore lock
         # in a decayed lower mode (observed: mode 4 slid to μ≈7 at γ=0).
+        # full-budget mode (tol=0) disables patience for the baselines too:
+        # at baseline_lr the post-kick descent is slow enough that
+        # patience=2000 strands the fit mid-recovery (p16 A/B: γ=100 err
+        # 3.6e-3 at full budget vs 8.4e-2 with patience cuts)
+        bl_patience = patience if tol > 0 else 10**9
         cur_mu = train_curriculum_ramp(spec, checkpoints, mode, epochs=epochs,
-                                       tol=max(tol, 1e-5), patience=patience,
+                                       tol=max(tol, 1e-5),
+                                       patience=bl_patience,
                                        seed=seed, lr=baseline_lr,
                                        lr_mode=lr_mode)
         # Vanilla: one pretrain + ONE vmapped fit over the 6 checkpoint γs
@@ -256,7 +262,7 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
         # programs per mode
         van_mu = train_vanilla_checkpoints(spec, checkpoints, mode,
                                            epochs=epochs, tol=tol,
-                                           patience=patience, seed=seed,
+                                           patience=bl_patience, seed=seed,
                                            lr=baseline_lr, lr_mode=lr_mode)
 
         per_method_errs = {"PL-PINN": [], "PL-PINN-R": [], "PL-PINN+LM": [],
