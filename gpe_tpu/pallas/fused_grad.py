@@ -428,13 +428,23 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
             tree = jax.tree.map(lambda g, mk: g * mk, tree, _masks)
         return tree
 
-    def vag(params, batch, gamma, scale):
+    def vag(params, batch, gamma, scale, axis_name=None):
+        """axis_name (shard_map mesh axis) turns on the psum-aware mode: the
+        batch's collocation arrays are LOCAL shards; the four global sums and
+        the collocation weight-grad contributions are each reduced with ONE
+        `lax.psum` over the axis (the loss factors through the sums, so the
+        scalar cotangents need the global S before pass 2 — everything else
+        is embarrassingly parallel). Boundary points are replicated, so the
+        boundary grads need no collective."""
         x, V, w = batch["x"], batch["V"], batch["w"]
         n = x.shape[0]
         bval = batch.get("base_val")
         blap = batch.get("base_lap")
         bbv = batch.get("base_bval", jnp.float32(0.0))
         sums = collocation_sums(params, x, V, w, gamma, scale, bval, blap)
+        if axis_name is not None:
+            sums = jax.lax.psum(sums, axis_name)
+            n = n * jax.lax.psum(1, axis_name)
         mu, pde, norm, cots = _loss_and_cots(sums, n)
         (_, bmean), bgrads = boundary_vg(params, batch["bx"], scale, bbv)
         bgrads = jax.tree.map(lambda g: bc_weight * g, bgrads)
@@ -443,28 +453,42 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                "mu": mu, "total": total}
         cgrads, _ = collocation_grads(params, x, V, w, gamma, scale, cots,
                                       bval, blap)
+        if axis_name is not None:
+            cgrads = jax.lax.psum(cgrads, axis_name)
         return (total, aux), _merge(cgrads, bgrads, params)
 
+    vag.psum_aware = True
     if not delayed:
         return vag
 
-    def init_state(params, batch, gamma, scale):
+    def init_state(params, batch, gamma, scale, axis_name=None):
         """Exact sums of the INITIAL params — the first step's cotangent
-        weights (one pass-1 kernel, once per fit)."""
-        return jnp.stack(collocation_sums(
+        weights (one pass-1 kernel, once per fit). Under shard_map the state
+        holds the GLOBAL (psum-reduced) sums, replicated on every shard."""
+        sums = collocation_sums(
             params, batch["x"], batch["V"], batch["w"], gamma, scale,
-            batch.get("base_val"), batch.get("base_lap")))
+            batch.get("base_val"), batch.get("base_lap"))
+        if axis_name is not None:
+            sums = jax.lax.psum(sums, axis_name)
+        return jnp.stack(sums)
 
-    def vag_relaxed(params, batch, gamma, scale, state):
+    def vag_relaxed(params, batch, gamma, scale, state, axis_name=None):
         x, V, w = batch["x"], batch["V"], batch["w"]
         n = x.shape[0]
+        if axis_name is not None:
+            n = n * jax.lax.psum(1, axis_name)
         bval = batch.get("base_val")
         blap = batch.get("base_lap")
         bbv = batch.get("base_bval", jnp.float32(0.0))
+        # state carries GLOBAL sums (psum'd at the previous step), so the
+        # cotangents are identical on every shard
         _, _, _, cots_prev = _loss_and_cots(
             (state[0], state[1], state[2], state[3]), n)
         cgrads, sums_new = collocation_grads(params, x, V, w, gamma, scale,
                                              cots_prev, bval, blap)
+        if axis_name is not None:
+            cgrads = jax.lax.psum(cgrads, axis_name)
+            sums_new = jax.lax.psum(sums_new, axis_name)
         mu, pde, norm, _ = _loss_and_cots(sums_new, n)   # EXACT current loss
         (_, bmean), bgrads = boundary_vg(params, batch["bx"], scale, bbv)
         bgrads = jax.tree.map(lambda g: bc_weight * g, bgrads)
@@ -475,5 +499,6 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                 jnp.stack(sums_new))
 
     vag_relaxed.stateful = True
+    vag_relaxed.psum_aware = True
     vag_relaxed.init_state = init_state
     return vag_relaxed

@@ -128,7 +128,29 @@ def make_parallel_loss(loss_fn: Callable, mesh: Mesh, batch: dict,
     return sharded
 
 
-_PARALLEL_LOSS_CACHE: dict = {}
+# Weak-keyed on the wrapped fn: when a spec/family's loss_fn (or fused vag)
+# is garbage-collected, its sharded wrappers — and their jit caches — go with
+# it, instead of accumulating for the process lifetime in long multi-family
+# sweeps (advisor finding r2).
+_PARALLEL_LOSS_CACHE: "weakref.WeakKeyDictionary" = None
+_PARALLEL_VAG_CACHE: "weakref.WeakKeyDictionary" = None
+
+
+def _weak_cached(cache_name: str, fn, make, mesh: Mesh, batch: dict,
+                 axis: str) -> Callable:
+    import weakref
+
+    g = globals()
+    if g[cache_name] is None:
+        g[cache_name] = weakref.WeakKeyDictionary()
+    sub = g[cache_name].setdefault(fn, {})
+    key = (mesh, axis,
+           tuple(sorted((k, tuple(jnp.shape(v))) for k, v in batch.items())))
+    wrapped = sub.get(key)
+    if wrapped is None:
+        wrapped = make(fn, mesh, batch, axis)
+        sub[key] = wrapped
+    return wrapped
 
 
 def parallel_loss_cached(loss_fn: Callable, mesh: Mesh, batch: dict,
@@ -137,13 +159,61 @@ def parallel_loss_cached(loss_fn: Callable, mesh: Mesh, batch: dict,
     (loss_fn, mesh, batch structure) return the SAME wrapper object, so
     fit()'s jitted chunk (which keys its compile cache on the loss_fn object)
     compiles once per continuation ramp instead of once per γ step."""
-    key = (loss_fn, mesh, axis,
-           tuple(sorted((k, tuple(jnp.shape(v))) for k, v in batch.items())))
-    fn = _PARALLEL_LOSS_CACHE.get(key)
-    if fn is None:
-        fn = make_parallel_loss(loss_fn, mesh, batch, axis)
-        _PARALLEL_LOSS_CACHE[key] = fn
-    return fn
+    return _weak_cached("_PARALLEL_LOSS_CACHE", loss_fn, make_parallel_loss,
+                        mesh, batch, axis)
+
+
+def make_parallel_vag(vag: Callable, mesh: Mesh, batch: dict,
+                      axis: str = AXIS) -> Callable:
+    """Wrap a psum-aware value_and_grad (the fused Pallas training gradient,
+    pallas/fused_grad.py) in shard_map over the collocation axis.
+
+    The kernel runs per-device on the LOCAL collocation shard; the wrapped
+    vag psums the four global sums before forming the scalar cotangents and
+    psums the collocation weight-grad tiles after pass 2 — two collectives
+    per step riding ICI. Handles both the exact (stateless) and the
+    one-step-relaxed (stateful) contract; the relaxed state holds the GLOBAL
+    sums, replicated.
+    """
+    specs = batch_pspecs(batch, axis)
+    if getattr(vag, "stateful", False):
+        inner = partial(shard_map, mesh=mesh,
+                        in_specs=(P(), specs, P(), P(), P()),
+                        out_specs=((P(), P()), P(), P()),
+                        check_vma=False)(
+            lambda params, b, gamma, scale, state:
+                vag(params, b, gamma, scale, state, axis_name=axis))
+        inner_init = partial(shard_map, mesh=mesh,
+                             in_specs=(P(), specs, P(), P()),
+                             out_specs=P(), check_vma=False)(
+            lambda params, b, gamma, scale:
+                vag.init_state(params, b, gamma, scale, axis_name=axis))
+
+        def sharded(params, b, gamma, scale, state):
+            return inner(params, b, gamma, scale, state)
+
+        sharded.stateful = True
+        sharded.init_state = inner_init
+        return sharded
+
+    inner = partial(shard_map, mesh=mesh,
+                    in_specs=(P(), specs, P(), P()),
+                    out_specs=((P(), P()), P()), check_vma=False)(
+        lambda params, b, gamma, scale:
+            vag(params, b, gamma, scale, axis_name=axis))
+
+    def sharded(params, b, gamma, scale):
+        return inner(params, b, gamma, scale)
+
+    return sharded
+
+
+def parallel_vag_cached(vag: Callable, mesh: Mesh, batch: dict,
+                        axis: str = AXIS) -> Callable:
+    """make_parallel_vag with a stable identity (same rationale as
+    parallel_loss_cached: fit()'s jit keys on the vag object)."""
+    return _weak_cached("_PARALLEL_VAG_CACHE", vag, make_parallel_vag,
+                        mesh, batch, axis)
 
 
 def make_parallel_step(loss_fn: Callable, optimizer, mesh: Mesh, batch: dict,

@@ -153,14 +153,24 @@ def fit(loss_fn: Callable, optimizer: optax.GradientTransformation, params,
     shard_map with psum quadrature reductions over ICI, collocation arrays
     sharded on their leading axis, params replicated. Everything else —
     chunked scan, early-stop carry, best-restore, optimizer extra-args —
-    is unchanged. Mutually exclusive with `value_and_grad_fn` (the fused
-    Pallas kernel computes global sums and is not psum-aware).
+    is unchanged. Composes with `value_and_grad_fn` when the custom gradient
+    is psum-aware (fn.psum_aware — the fused Pallas kernels are): the kernel
+    then runs per-device on the local collocation shard with two psums per
+    step (global sums before the cotangents, weight-grad tiles after),
+    keeping the ~6× fused step on multi-chip. Build the fused vag with
+    n_shards=mesh.size so its row tiles divide the LOCAL shard.
     """
     if mesh is not None:
+        from gpe_tpu.parallel.mesh import (parallel_loss_cached,
+                                           parallel_vag_cached, shard_batch)
         if value_and_grad_fn is not None:
-            raise ValueError("mesh and value_and_grad_fn are mutually "
-                             "exclusive (the fused kernel is not psum-aware)")
-        from gpe_tpu.parallel.mesh import parallel_loss_cached, shard_batch
+            if not getattr(value_and_grad_fn, "psum_aware", False):
+                raise ValueError(
+                    "mesh requires a psum-aware value_and_grad_fn (the fused "
+                    "Pallas vags are; build via make_fused_value_and_grad "
+                    "with n_shards=mesh.size)")
+            value_and_grad_fn = parallel_vag_cached(value_and_grad_fn, mesh,
+                                                    batch)
         loss_fn = parallel_loss_cached(loss_fn, mesh, batch)
         batch = shard_batch(batch, mesh)
     gamma = jnp.asarray(gamma, jnp.float32)

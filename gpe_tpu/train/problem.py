@@ -305,7 +305,8 @@ def _pick_tile(n: int, cap: int) -> int | None:
 
 def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 896,
                               sum_tile_cap: int = 1792,
-                              relaxed: bool | None = None):
+                              relaxed: bool | None = None,
+                              n_shards: int = 1):
     # sum_tile 3584 overflows the 16MB VMEM scope for 128-wide nets with the
     # perturbation base streams (measured 16.64M); 1792 is safe and costs
     # ~13% on pass 1 only
@@ -323,6 +324,11 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 896,
     single-kernel mode: exact loss, gradient cotangent weights one step
     stale, ~15-25%% faster (pallas/fused_grad.py). fit() handles the
     stateful contract transparently. Default: the exact two-pass gradient.
+
+    n_shards > 1 sizes the row tiles for collocation-sharded execution under
+    fit(mesh=): each device's kernel sees n/n_shards local points, so the
+    tiles must divide the LOCAL shard. Pass mesh.size; the returned vag is
+    psum-aware (fit wraps it in shard_map).
     """
     import os
 
@@ -336,8 +342,11 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 896,
         return None
     from gpe_tpu.pallas.fused_grad import grad_kernel_tile_cap
     n = spec.n_points ** spec.dim
-    tile = _pick_tile(n, min(tile_cap, grad_kernel_tile_cap(spec.layers)))
-    sum_tile = _pick_tile(n, sum_tile_cap)
+    if n % n_shards:
+        return None
+    n_local = n // n_shards
+    tile = _pick_tile(n_local, min(tile_cap, grad_kernel_tile_cap(spec.layers)))
+    sum_tile = _pick_tile(n_local, sum_tile_cap)
     # The fused path wins at scale (50k-pt 2D, width>=100: ~6x the XLA step)
     # but loses on small 1D problems. Round-2 A/B on the 4000-pt width-64
     # paper spec with the improved kernel (pre-activation storage, no
