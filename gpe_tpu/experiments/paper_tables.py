@@ -124,12 +124,16 @@ def _lm_polish_mus(spec, mode, checkpoints, pl_result, normal_const,
     return out
 
 
+METHOD_ORDER = ("PL-PINN", "PL-PINN-R", "PL-PINN+LM", "PL-PINN-R+LM",
+                "Curriculum Training", "Vanilla PINN")
+
+
 def run_family(family: str, out_dir: str, epochs: int = 5001,
                tol: float = 0.0, patience: int = 2000,
                ramp_step: float = 0.5, seed: int = 42,
                lr_mode: str = "loss_faithful", packed: bool = False,
                baseline_lr: float = 1e-4, only_baselines: bool = False,
-               verbose: bool = True) -> dict:
+               modes_filter=None, verbose: bool = True) -> dict:
     """tol=0 (default) runs every method to the full ≤5001-epoch budget and
     keeps the best state — the reference's tol=1e-5 early exit saves time but
     freezes μ at whatever the first loss≤tol iterate happened to be (A/B on
@@ -148,9 +152,15 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
     generator is uncommitted, so a lower baseline LR is the protocol most
     consistent with its published numbers.
 
-    only_baselines=True reuses the PL/PL-R/PL+LM columns from the existing
-    out_dir/raw_comparison_results.csv and retrains only the baseline
-    columns — for refreshing tables after a baseline-protocol change."""
+    only_baselines=True reuses the PL/PL-R/PL+LM (and PL-R+LM when present)
+    columns from the existing out_dir/raw_comparison_results.csv and retrains
+    only the baseline columns — for refreshing tables after a
+    baseline-protocol change.
+
+    modes_filter (iterable of ints) reruns only those modes and MERGES the
+    fresh rows with the other modes' rows preserved from the existing raw
+    CSV — for targeted refreshes (e.g. the harmonic mode-5 parity row)
+    without repaying the whole family."""
     import jax
     import numpy as np
 
@@ -165,6 +175,9 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
 
     fam = _families()[family]
     spec, modes = fam["spec"], fam["modes"]
+    if modes_filter is not None:
+        modes = tuple(m for m in modes if m in set(modes_filter))
+        assert modes, f"modes_filter {modes_filter} matches none of {fam['modes']}"
     checkpoints = [float(g) for g in fam["checkpoints"]]
     step = fam.get("gamma_step", ramp_step)
     gmax = checkpoints[-1]
@@ -173,6 +186,20 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
 
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
+
+    # preserved rows for modes outside the filter (merge semantics)
+    preserved = []
+    raw_path = os.path.join(out_dir, "raw_comparison_results.csv")
+    if modes_filter is not None and os.path.exists(raw_path):
+        with open(raw_path, newline="") as f:
+            for row in csv.DictReader(f):
+                if int(row["Mode"]) not in set(modes):
+                    preserved.append({
+                        "Method": row["Method"], "Mode": int(row["Mode"]),
+                        "Gamma": float(row["Gamma"]), "mu": float(row["mu"]),
+                        "mu_ref": float(row["mu_ref"]),
+                        "Abs Error": float(row["Abs Error"]),
+                        "Rel Error": float(row["Rel Error"])})
 
     # oracle first (host f64, independent of training)
     mu_ref = {m: _oracle_mu(spec, m, checkpoints) for m in modes}
@@ -191,9 +218,15 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
             for row in csv.DictReader(f):
                 key = (int(row["Mode"]), float(row["Gamma"]))
                 reuse.setdefault(key, {})[row["Method"]] = float(row["mu"])
-        missing = [(m, g) for m in modes for g in checkpoints
-                   if "PL-PINN" not in reuse.get((m, g), {})]
-        assert not missing, f"raw CSV lacks PL rows for {missing[:4]}..."
+        # every reused PL-method column must be present at every (mode, γ) —
+        # an older-format CSV should fail HERE with a readable message, not
+        # with a KeyError deep in the row assembly
+        missing = [(m, g, meth) for m in modes for g in checkpoints
+                   for meth in ("PL-PINN", "PL-PINN-R", "PL-PINN+LM")
+                   if meth not in reuse.get((m, g), {})]
+        assert not missing, (
+            f"raw CSV lacks reusable PL rows (first few: {missing[:4]}) — "
+            f"rerun the family without --only-baselines")
 
     pl_all = plr_all = None
     if packed and not only_baselines and len(modes) >= 2:
@@ -213,10 +246,15 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
 
     rows, raw_rows = [], []
     for mode in modes:
+        plrlm_mu = {}
         if only_baselines:
             pl_mu = {g: reuse[(mode, g)]["PL-PINN"] for g in checkpoints}
             plr_mu = {g: reuse[(mode, g)]["PL-PINN-R"] for g in checkpoints}
             lm_mu = {g: reuse[(mode, g)]["PL-PINN+LM"] for g in checkpoints}
+            # newer column — reuse when the CSV has it, else omit
+            plrlm_mu = {g: reuse[(mode, g)]["PL-PINN-R+LM"]
+                        for g in checkpoints
+                        if "PL-PINN-R+LM" in reuse.get((mode, g), {})}
         elif pl_all is not None:
             pl, plr = pl_all, plr_all
         else:
@@ -226,11 +264,15 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
                               keep_params=True, lr_mode=lr_mode, verbose=False)
             # PL-PINN-R: incremental-base (rebased) continuation — same
             # perturbation-learning family, each γ step learns only the
-            # increment ψ(γ+Δγ)−ψ(γ) (plpinn._rebase); no post-fit polish
+            # increment ψ(γ+Δγ)−ψ(γ) (plpinn._rebase). polish_checkpoints
+            # yields the PL-R+LM column: an LM polish of a COPY of the state
+            # at each checkpoint against the current folded base (the
+            # combination VERDICT r2 #4 asked for on harmonic mode 5)
             plr = train_plpinn(spec, ramp, modes=(mode,), epochs=epochs,
                                tol=tol, patience=patience, seed=seed,
                                keep_params=False, rebase=True,
-                               lr_mode=lr_mode, verbose=False)
+                               lr_mode=lr_mode, verbose=False,
+                               polish_checkpoints=checkpoints)
         if not only_baselines:
             pl_mu = dict(pl.mu_table[mode])
             plr_mu = dict(plr.mu_table[mode])
@@ -239,6 +281,7 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
             # perturbation-ansatz residual from the converged PL-PINN state
             lm_mu = _lm_polish_mus(spec, mode, checkpoints, pl,
                                    pl.constant_history[mode])
+            plrlm_mu = (plr.polished.get(mode, {}) or {}).get("by_gamma", {})
         # Curriculum: direct net pretrained on the analytic base, then
         # warm-started across the checkpoint ramp (the reference artifact's
         # protocol — see train_curriculum_ramp). The curriculum keeps the
@@ -265,31 +308,41 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
                                            patience=bl_patience, seed=seed,
                                            lr=baseline_lr, lr_mode=lr_mode)
 
-        per_method_errs = {"PL-PINN": [], "PL-PINN-R": [], "PL-PINN+LM": [],
-                           "Curriculum Training": [], "Vanilla PINN": []}
+        method_mus = {"PL-PINN": pl_mu, "PL-PINN-R": plr_mu,
+                      "PL-PINN+LM": lm_mu, "PL-PINN-R+LM": plrlm_mu,
+                      "Curriculum Training": cur_mu, "Vanilla PINN": van_mu}
         for g in checkpoints:
             ref = mu_ref[mode][g]
-            for method, mu in (("PL-PINN", pl_mu[g]),
-                               ("PL-PINN-R", plr_mu[g]),
-                               ("PL-PINN+LM", lm_mu[g]),
-                               ("Curriculum Training", cur_mu[g]),
-                               ("Vanilla PINN", van_mu[g])):
+            for method in METHOD_ORDER:
+                if g not in method_mus[method]:
+                    continue           # column absent (packed/older reuse)
+                mu = method_mus[method][g]
                 err = abs(mu - ref)
                 rel = err / max(abs(ref), 1e-30)
                 raw_rows.append({"Method": method, "Mode": mode, "Gamma": g,
                                  "mu": mu, "mu_ref": ref,
                                  "Abs Error": err, "Rel Error": 100 * rel})
-                per_method_errs[method].append((err, rel))
             if verbose:
                 print(f"mode {mode} γ={g:g}: ref={ref:.6f} "
                       f"pl={pl_mu[g]:.6f} cur={cur_mu[g]:.6f} van={van_mu[g]:.6f}",
                       flush=True)
 
-        for method, errs in per_method_errs.items():
-            abs_m = float(np.mean([e for e, _ in errs]))
-            rel_m = float(np.mean([r for _, r in errs]))
-            rows.append({"Mode": f"Mode {mode}", "Method": method,
-                         "abs_err": abs_m, "rel_err_pct": 100 * rel_m})
+    # aggregate per (mode, method) over γ — computed from the raw rows so
+    # merged (preserved + fresh) tables aggregate consistently
+    raw_rows = preserved + raw_rows
+    midx = {m: i for i, m in enumerate(METHOD_ORDER)}
+    raw_rows.sort(key=lambda r: (r["Mode"], r["Gamma"],
+                                 midx.get(r["Method"], 99)))
+    by_mm = {}
+    for r in raw_rows:
+        by_mm.setdefault((r["Mode"], r["Method"]), []).append(r)
+    for (mode, method) in sorted(by_mm, key=lambda k: (k[0],
+                                                       midx.get(k[1], 99))):
+        errs = by_mm[(mode, method)]
+        rows.append({"Mode": f"Mode {mode}", "Method": method,
+                     "abs_err": float(np.mean([e["Abs Error"] for e in errs])),
+                     "rel_err_pct": float(np.mean([e["Rel Error"]
+                                                   for e in errs]))})
 
     # paper_style_results.csv (mean-over-γ errors per mode/method)
     with open(os.path.join(out_dir, "paper_style_results.csv"), "w",
@@ -331,7 +384,11 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=5001)
     ap.add_argument("--ramp-step", type=float, default=0.5)
     ap.add_argument("--lr-mode", default="loss_faithful",
-                    choices=("loss_faithful", "cosine", "constant"))
+                    choices=("loss_faithful", "cosine", "constant",
+                             "warmup_faithful"))
+    ap.add_argument("--modes", default=None,
+                    help="comma-separated mode subset: rerun only these "
+                         "modes and merge with the existing raw CSV")
     ap.add_argument("--packed", action="store_true",
                     help="train all modes lane-packed into each fused kernel")
     ap.add_argument("--baseline-lr", type=float, default=1e-4,
@@ -341,10 +398,11 @@ def main(argv=None):
                          "retrain only the baseline columns")
     args = ap.parse_args(argv)
     out = args.out or f"runs/comparison_results_{args.family}"
+    mf = ([int(m) for m in args.modes.split(",")] if args.modes else None)
     run_family(args.family, out, epochs=args.epochs, ramp_step=args.ramp_step,
                lr_mode=args.lr_mode, packed=args.packed,
                baseline_lr=args.baseline_lr,
-               only_baselines=args.only_baselines)
+               only_baselines=args.only_baselines, modes_filter=mf)
     return 0
 
 

@@ -148,12 +148,17 @@ def run_where(masks, cond_vec, new, old):
     where cond_vec[m] else `old`'s. cond_vec: (M,) bool (or (U, M) with a
     leading unit axis matching the leaves).
 
-    Implemented as an elementwise lane/row select built from the masks'
-    block structure — used by the packed trainer for per-run freeze and
-    best-restore."""
+    Selection derives purely from the COLUMN block layout (run m owns the
+    contiguous column block m): selecting whole columns by run suffices
+    because both operands keep the off-diagonal cross-run blocks identically
+    zero (block_masks pins them), so the rows a column-select "drags along"
+    agree between `new` and `old` outside the diagonal block anyway. `masks`
+    is accepted for signature symmetry with the other packed helpers but is
+    not consulted."""
+    del masks
     n_runs = cond_vec.shape[-1]
 
-    def sel(m_mask, n, o, li, is_bias):
+    def sel(n, o, is_bias):
         # per-run selector broadcast to the leaf's packed shape
         fi_fo = n.shape[-1]
         w = fi_fo // n_runs
@@ -164,7 +169,6 @@ def run_where(masks, cond_vec, new, old):
         return jnp.where(c, n, o)
 
     out = []
-    for li, ((Wm, bm), (Wn, bn), (Wo, bo)) in enumerate(
-            zip(masks, new, old)):
-        out.append((sel(Wm, Wn, Wo, li, False), sel(bm, bn, bo, li, True)))
+    for (Wn, bn), (Wo, bo) in zip(new, old):
+        out.append((sel(Wn, Wo, False), sel(bn, bo, True)))
     return tuple(out)

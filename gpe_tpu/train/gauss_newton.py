@@ -99,12 +99,16 @@ def make_lm_solver(residual_fn: Callable, params_template,
     chunk = max(1, min(chunk, steps))
 
     @jax.jit
-    def run(theta0, lam_in, batch, gamma, scale):
+    def run(theta0, lam_in, batch, gamma, scale, n_active):
+        # n_active (traced) masks the tail of the last chunk when
+        # steps % chunk != 0, so the returned θ has had EXACTLY `steps` LM
+        # iterations and LMResult.final_loss corresponds to LMResult.params
         def rflat(theta):
             return residual_fn(unravel(theta), batch, gamma, scale)
 
-        def lm_step(carry, _):
+        def lm_step(carry, i):
             theta, lam = carry
+            active = i < n_active
             r, vjp = jax.vjp(rflat, theta)
             loss = jnp.sum(r * r)
             g = vjp(r)[0]
@@ -125,14 +129,15 @@ def make_lm_solver(residual_fn: Callable, params_template,
             theta_new = theta - delta
             r_new = rflat(theta_new)
             loss_new = jnp.sum(r_new * r_new)
-            accept = (loss_new < loss) & jnp.isfinite(loss_new)
+            accept = (loss_new < loss) & jnp.isfinite(loss_new) & active
             theta = jnp.where(accept, theta_new, theta)
-            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0),
-                           lam_min, lam_max)
+            lam = jnp.where(active,
+                            jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0),
+                                     lam_min, lam_max), lam)
             return (theta, lam), (jnp.minimum(loss, loss_new), lam)
 
         (theta, lam_out), (losses, lams) = jax.lax.scan(
-            lm_step, (theta0, lam_in), None, length=chunk)
+            lm_step, (theta0, lam_in), jnp.arange(chunk))
         return theta, lam_out, losses, lams
 
     def solver(params, batch, gamma, scale) -> LMResult:
@@ -143,8 +148,9 @@ def make_lm_solver(residual_fn: Callable, params_template,
         all_losses, all_lams = [], []
         done = 0
         while done < steps:
-            theta, lam, losses, lams = run(theta, lam, batch, gamma, scale)
             n = min(chunk, steps - done)
+            theta, lam, losses, lams = run(theta, lam, batch, gamma, scale,
+                                           jnp.asarray(n, jnp.int32))
             all_losses.append(np.asarray(losses[:n]))
             all_lams.append(np.asarray(lams[:n]))
             done += n

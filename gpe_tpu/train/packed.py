@@ -337,7 +337,7 @@ def train_plpinn_modes_packed(spec, gamma_values, modes=(0, 1), epochs: int = 50
     by_gamma_params = {m: {} for m in modes}
     by_gamma_hist = {m: {} for m in modes}
     by_gamma_epochs = {m: {} for m in modes}
-    for gamma in gamma_values:
+    for gi, gamma in enumerate(gamma_values):
         ens = fit_ensemble_packed(spec, params_batch, shared, gamma,
                                   scale_vec, epochs=epochs, tol=tol,
                                   patience=patience, check_every=check_every,
@@ -368,7 +368,11 @@ def train_plpinn_modes_packed(spec, gamma_values, modes=(0, 1), epochs: int = 50
                 # (the kernel path never reads it) kept consistent anyway
                 batch_r["base_grad"] = jnp.zeros_like(shared["x"])
                 p_r = jax.tree.map(lambda a, r=r: a[r], params_batch)
-                batch_r, p_r = _rebase(spec, batch_r, p_r, float(scale_vec[r]))
+                rb_key = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(seed + 1000 * r),
+                                       0x5EBA5E), gi)
+                batch_r, p_r = _rebase(spec, batch_r, p_r,
+                                       float(scale_vec[r]), rb_key)
                 prb["base_val"][r] = np.asarray(batch_r["base_val"])
                 prb["base_lap"][r] = np.asarray(batch_r["base_lap"])
                 prb["base_bval"][r] = np.asarray(batch_r["base_bval"])

@@ -87,7 +87,8 @@ class PLPINNResult(NamedTuple):
     # lm_polish: Levenberg–Marquardt residual refinement at the final γ
 
 
-def _rebase(spec: GPESpec, batch: dict, params, scale: float) -> tuple:
+def _rebase(spec: GPESpec, batch: dict, params, scale: float,
+            key: jax.Array) -> tuple:
     """Fold the current perturbation into the base arrays and reset the net's
     output layer to zero (keeping hidden features as a warm start).
 
@@ -127,8 +128,10 @@ def _rebase(spec: GPESpec, batch: dict, params, scale: float) -> tuple:
     # Reset the output layer to a TINY random map (not exactly zero: a zero
     # last layer makes the Jacobian w.r.t. all hidden params vanish, which
     # rank-cripples Gauss-Newton and stalls Adam at the rebased point).
+    # `key` derives from (user seed, mode, γ-index) at the call sites, so
+    # repeated sweeps are bitwise-reproducible (VERDICT r2 #9 — the earlier
+    # float-hash reseed was deterministic but seed-uncontrolled).
     w_last, b_last = params[-1]
-    key = jax.random.PRNGKey(jnp.asarray(jnp.sum(jnp.abs(w_last)) * 1e6, jnp.int32).item() + 17)
     w_new = 1e-3 * jax.random.normal(key, w_last.shape, w_last.dtype)
     params = tuple(params[:-1]) + ((w_new, jnp.zeros_like(b_last)),)
     return batch, params
@@ -141,7 +144,7 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
                  rebase: bool = False, checkpoint_path: str | None = None,
                  mesh=None, lr_mode: str = "loss_faithful",
                  lm_polish: bool = False, lm_steps: int = 120,
-                 lm_cg_iters: int = 80,
+                 lm_cg_iters: int = 80, polish_checkpoints=(),
                  verbose: bool = False) -> PLPINNResult:
     """Run the PL-PINN continuation sweep. Reference-parity entry point.
 
@@ -151,7 +154,12 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
     completed (mode, γ) step is persisted and skipped on restart.
     mesh (jax.sharding.Mesh) runs every fit() with collocation-sharded data
     parallelism (shard_map + psum quadrature over ICI); the fused Pallas
-    gradient is bypassed on the sharded path (not psum-aware)."""
+    gradient rides the sharded path too (psum-aware, pallas/fused_grad.py).
+    polish_checkpoints: γ values at which to LM-polish a COPY of the current
+    best params mid-ramp (the ramp itself continues from the unpolished
+    state). With rebase=True the polish sees the CURRENT folded base — the
+    per-checkpoint PL-R+LM column of the paper tables. Results land in
+    PLPINNResult.polished[mode]["by_gamma"] = {γ: μ}."""
     gs = [float(g) for g in gamma_values]
     # continuation ramps in |γ|: ascending for repulsive, descending for the
     # attractive (negative-γ) family (reference ..._negative_interaction_
@@ -207,7 +215,9 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
         # inside fit() per γ (reference: fresh Adam each γ), while the jit
         # cache keys on the optimizer object — reuse avoids a recompile per γ.
         optimizer = ramp_optimizer(lr, lr_mode)
-        for gamma in gamma_values:
+        polish_set = {float(g) for g in polish_checkpoints}
+        lm_ckpt = None
+        for gi, gamma in enumerate(gamma_values):
             if ckpt is not None and gamma in done_gammas:
                 saved = ckpt.get(f"{mode}:{gamma!r}")
                 if saved is not None:
@@ -234,8 +244,30 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
             if verbose:
                 print(f"mode {mode} γ={gamma:g}: μ={res.mu:.6f} "
                       f"loss={res.best_loss:.3e} epochs={res.epochs_run}")
+            if float(gamma) in polish_set:
+                # mid-ramp LM polish on a COPY of the best params against the
+                # CURRENT batch (with rebase=True that is the folded base the
+                # fit actually trained against); the ramp continues unpolished
+                from gpe_tpu.train.gauss_newton import (make_gpe_residual_fn,
+                                                        make_lm_solver)
+                if lm_ckpt is None:
+                    lm_ckpt = make_lm_solver(make_gpe_residual_fn(spec),
+                                             params, steps=lm_steps,
+                                             cg_iters=lm_cg_iters)
+                res_lm = lm_ckpt(params, batch, jnp.float32(gamma),
+                                 jnp.float32(scale))
+                _, aux_lm = _jit_polish_eval(loss_fn)(
+                    res_lm.params, batch, jnp.float32(gamma),
+                    jnp.float32(scale))
+                polished.setdefault(mode, {}).setdefault(
+                    "by_gamma", {})[float(gamma)] = float(aux_lm["mu"])
+                if verbose:
+                    print(f"mode {mode} γ={gamma:g}: checkpoint LM μ="
+                          f"{float(aux_lm['mu']):.7f}")
             if rebase:
-                batch, params = _rebase(spec, batch, params, scale)
+                batch, params = _rebase(
+                    spec, batch, params, scale,
+                    jax.random.fold_in(jax.random.fold_in(key, 0x5EBA5E), gi))
             if ckpt is not None:
                 done_gammas.add(gamma)
                 ckpt.put(f"{mode}:{gamma!r}", {
@@ -270,13 +302,13 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
             res_lm = lm(params, batch, jnp.float32(g_last), jnp.float32(scale))
             _, aux_lm = _jit_polish_eval(loss_fn)(
                 res_lm.params, batch, jnp.float32(g_last), jnp.float32(scale))
-            polished[mode] = {"gamma": g_last, "mu": float(aux_lm["mu"]),
-                              "steps": lm_steps}
+            entry = polished.setdefault(mode, {})   # merge with by_gamma
+            entry.update({"gamma": g_last, "mu": float(aux_lm["mu"]),
+                          "steps": lm_steps})
             if keep_params:
                 # separate entry — by_gamma_params keys must stay a single
                 # sortable type (float γ) for pytree/bundle serialization
-                polished[mode]["params"] = jax.tree.map(np.asarray,
-                                                        res_lm.params)
+                entry["params"] = jax.tree.map(np.asarray, res_lm.params)
             if verbose:
                 print(f"mode {mode} γ={g_last:g}: LM-polished μ={polished[mode]['mu']:.7f}")
 

@@ -1,13 +1,22 @@
-"""Imaginary-time (gradient-flow) ground-truth GPE solver, split-step Fourier.
+"""Imaginary-time (gradient-flow) ground-truth GPE solver, split-step spectral.
 
 The robust oracle for strong nonlinearity, where plain eigensolver-SCF
 oscillates: propagate ψ ← e^(−τH[ψ])ψ with Strang splitting
-(half potential+nonlinear, full kinetic in Fourier space, half potential),
+(half potential+nonlinear, full kinetic in spectral space, half potential),
 renormalizing each step; μ = ∫ c|∇ψ|² + Vψ² + γ|ψ|^(p+1) dx at convergence.
 
 BASELINE.json: "Solutions must match ... Thomas-Fermi and imaginary-time
-ground truths." Works in 1D and 2D on uniform periodic-padded grids (states
-decay to machine zero at the box edge, so FFT wrap-around is negligible).
+ground truths." Works in 1D and 2D on uniform grids with two boundary
+handlings:
+
+- bc="periodic" (FFT): for confining potentials whose states decay to
+  machine zero inside the box, where the wrap-around is negligible;
+- bc="dirichlet" (DST-I): the kinetic propagator diagonalizes the Dirichlet
+  Laplacian exactly, for NON-confining potentials (e.g. the optical lattice,
+  BASELINE config #4) where the PINN's boundary loss — ψ=0 on the box edge —
+  is a physical part of the problem and the periodic oracle would solve a
+  different Hamiltonian. V must then be sampled on the n INTERIOR points
+  x_j = lb + j·dx (j = 1..n, box length L = (n+1)·dx).
 """
 from __future__ import annotations
 
@@ -18,11 +27,43 @@ def _k_grid(n: int, dx: float) -> np.ndarray:
     return 2.0 * np.pi * np.fft.fftfreq(n, d=dx)
 
 
+def _spectral_ops(shape: tuple, dx: float, bc: str):
+    """(to_spec, from_spec, k2): forward/inverse transform + the Laplacian
+    symbol on the spectral grid for the requested boundary condition."""
+    dim = len(shape)
+    if bc == "periodic":
+        if dim == 1:
+            k2 = _k_grid(shape[0], dx) ** 2
+        else:
+            kx = _k_grid(shape[0], dx)
+            ky = _k_grid(shape[1], dx)
+            k2 = kx[:, None] ** 2 + ky[None, :] ** 2
+        fft = np.fft.fft if dim == 1 else np.fft.fft2
+        ifft = np.fft.ifft if dim == 1 else np.fft.ifft2
+        return fft, lambda a: np.real(ifft(a)), k2
+    if bc == "dirichlet":
+        from scipy.fft import dstn
+
+        # DST-I with ortho norm is involutory; sine modes k_m = πm/L,
+        # m = 1..n on the n interior points of a box of length L = (n+1)dx
+        def axis_k(n):
+            return np.pi * np.arange(1, n + 1) / ((n + 1) * dx)
+
+        if dim == 1:
+            k2 = axis_k(shape[0]) ** 2
+        else:
+            k2 = (axis_k(shape[0])[:, None] ** 2
+                  + axis_k(shape[1])[None, :] ** 2)
+        tr = lambda a: dstn(a, type=1, norm="ortho")
+        return tr, tr, k2
+    raise ValueError(f"unknown bc {bc!r}")
+
+
 def imaginary_time_gpe(V: np.ndarray, dx: float, gamma: float,
                        kinetic: float = 1.0, p: float = 3.0,
                        tau: float = 5e-3, steps: int = 20000,
                        tol: float = 1e-12, psi0: np.ndarray | None = None,
-                       richardson: bool = False):
+                       richardson: bool = False, bc: str = "periodic"):
     """Ground state of −c·Δψ + Vψ + γ|ψ|^(p−1)ψ = μψ with ∫|ψ|² = 1.
 
     V: (n,) for 1D or (nx, ny) for 2D (same spacing dx per axis).
@@ -40,55 +81,61 @@ def imaginary_time_gpe(V: np.ndarray, dx: float, gamma: float,
     order = int(richardson)
     if order >= 1:
         mu1, psi1 = imaginary_time_gpe(V, dx, gamma, kinetic, p, tau, steps,
-                                       tol, psi0)
+                                       tol, psi0, bc=bc)
         mu2, psi2 = imaginary_time_gpe(V, dx, gamma, kinetic, p, tau / 2.0,
-                                       steps * 2, tol, psi1)
+                                       steps * 2, tol, psi1, bc=bc)
         r1 = 2.0 * mu2 - mu1
         if order == 1:
             return r1, psi2
         mu4, psi4 = imaginary_time_gpe(V, dx, gamma, kinetic, p, tau / 4.0,
-                                       steps * 4, tol, psi2)
+                                       steps * 4, tol, psi2, bc=bc)
         r1_half = 2.0 * mu4 - mu2
         return (4.0 * r1_half - r1) / 3.0, psi4
     dim = V.ndim
     vol = dx**dim
     if psi0 is None:
         psi = np.exp(-np.asarray(V) / (2.0 * max(kinetic, 1e-6)))
+        if bc == "dirichlet":
+            # taper to the Dirichlet box so the seed has no edge discontinuity
+            def sin_env(n):
+                return np.sin(np.pi * np.arange(1, n + 1) / (V.shape[0] + 1))
+            env = sin_env(V.shape[0])
+            psi = psi * (env if dim == 1 else env[:, None]
+                         * sin_env(V.shape[1])[None, :])
     else:
         psi = np.asarray(psi0, dtype=float).copy()
     psi /= np.sqrt(np.sum(psi * psi) * vol)
 
-    if dim == 1:
-        k2 = _k_grid(V.shape[0], dx) ** 2
-        fft, ifft = np.fft.fft, np.fft.ifft
-    else:
-        kx = _k_grid(V.shape[0], dx)
-        ky = _k_grid(V.shape[1], dx)
-        k2 = kx[:, None] ** 2 + ky[None, :] ** 2
-        fft, ifft = np.fft.fft2, np.fft.ifft2
-
+    to_spec, from_spec, k2 = _spectral_ops(V.shape, dx, bc)
     kin_prop = np.exp(-tau * kinetic * k2)
     mu_prev = np.inf
     for it in range(steps):
         dens_pot = V + gamma * np.abs(psi) ** (p - 1.0)
         psi = psi * np.exp(-0.5 * tau * dens_pot)
-        psi = np.real(ifft(fft(psi) * kin_prop))
+        psi = from_spec(to_spec(psi) * kin_prop)
         dens_pot = V + gamma * np.abs(psi) ** (p - 1.0)
         psi = psi * np.exp(-0.5 * tau * dens_pot)
         psi /= np.sqrt(np.sum(psi * psi) * vol)
 
         if it % 50 == 0 or it == steps - 1:
-            mu = _chemical_potential(psi, V, dx, gamma, kinetic, p)
+            mu = _chemical_potential(psi, V, dx, gamma, kinetic, p, bc)
             if abs(mu - mu_prev) < tol * max(1.0, abs(mu)):
                 return mu, psi
             mu_prev = mu
     return mu_prev, psi
 
 
-def _chemical_potential(psi, V, dx, gamma, kinetic, p=3.0):
+def _chemical_potential(psi, V, dx, gamma, kinetic, p=3.0, bc="periodic"):
     """μ = ∫ c|∇ψ|² + Vψ² + γ|ψ|^(p+1) (spectral gradient, ∫|ψ|²=1)."""
     dim = psi.ndim
     vol = dx**dim
+    if bc == "dirichlet":
+        # Parseval for DST-I (ortho): ∫|∇ψ|² dx = vol · Σ k² a²
+        to_spec, _, k2 = _spectral_ops(psi.shape, dx, bc)
+        a = to_spec(psi)
+        kin_e = kinetic * float(np.sum(k2 * a * a)) * vol
+        dens = V * psi**2 + gamma * np.abs(psi) ** (p + 1.0)
+        return kin_e + float(np.sum(dens) * vol)
     if dim == 1:
         k = _k_grid(psi.shape[0], dx)
         grad2 = np.abs(np.fft.ifft(1j * k * np.fft.fft(psi))) ** 2

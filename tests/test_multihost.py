@@ -46,8 +46,9 @@ print(f"OK proc={pid} devices={jax.device_count()} psum={out}", flush=True)
 """
 
 
-@pytest.mark.timeout(240)
 def test_two_process_multihost_psum(tmp_path):
+    # No pytest.mark.timeout: pytest-timeout is not installed (the mark was
+    # a silent no-op) — the communicate(timeout=200) below is the real bound.
     child = tmp_path / "mh_child.py"
     child.write_text(_CHILD)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -58,7 +59,11 @@ def test_two_process_multihost_psum(tmp_path):
     env["XLA_FLAGS"] = " ".join(
         f for f in env.get("XLA_FLAGS", "").split()
         if "xla_force_host_platform_device_count" not in f)
-    port = "39223"
+    # a free port from the OS, so parallel test runs can't collide
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
     procs = [subprocess.Popen(
         [sys.executable, str(child), str(i), "2", port, repo],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
