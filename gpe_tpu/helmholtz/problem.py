@@ -164,19 +164,57 @@ def make_helmholtz_loss(spec: HelmholtzSpec):
     return loss_fn
 
 
+def make_helmholtz_residual_fn(spec: HelmholtzSpec):
+    """Flat residual vector whose sum of squares equals the (fixed-weight)
+    training loss — feeds train.gauss_newton.make_lm_solver for the
+    second-order polish. For the inverse problem the data residuals are
+    included, so LM refines the trainable k jointly with the net (the
+    learnable bc_scale, if present, has zero Jacobian here and stays put)."""
+    a, b = spec.ab
+
+    def rfn(params, batch, k_in, scale):
+        k = params["k_raw"] if spec.learnable_k else k_in
+        k_data = spec.k
+        n = mlp.mlp_vgl(params["net"], batch["x"], spec.activation)
+        if spec.domain == "square":
+            ustar = jnp.sin(a * batch["x"][:, 0]) * jnp.sin(b * batch["x"][:, 1])
+            if spec.forcing == "reference":
+                q = k_data * k_data * ustar
+            else:
+                q = (k_data * k_data - (a * a + b * b)) * ustar
+        else:
+            q = 0.0
+        r_pde = (n.lap + k * k * n.value - q) / jnp.sqrt(1.0 * n.value.shape[0])
+        ub_pred = mlp.mlp_apply(params["net"], batch["bx"], spec.activation)
+        r_bc = jnp.sqrt(spec.bc_weight / batch["bx"].shape[0]) * (
+            ub_pred - batch["bu"])
+        parts = [r_pde.ravel(), r_bc.ravel()]
+        if spec.learnable_k:
+            r_d = jnp.sqrt(spec.data_weight / n.value.shape[0]) * (
+                n.value - batch["u_exact"])
+            parts.append(r_d.ravel())
+        return jnp.concatenate(parts)
+
+    return rfn
+
+
 class HelmholtzResult(NamedTuple):
     params: any
     k: float
     test_mae: float
     interior_mse: float
     loss_history: np.ndarray
+    k_error: float = 0.0       # |k_learned − k_true| (inverse problem)
 
 
 def train_helmholtz(spec: HelmholtzSpec, epochs: int = 4000, lr: float = 1e-3,
                     seed: int = 0, check_every: int = 1000,
-                    lbfgs_steps: int = 0) -> HelmholtzResult:
+                    lbfgs_steps: int = 0, lm_steps: int = 0,
+                    lm_cg_iters: int = 80) -> HelmholtzResult:
     """End-to-end Helmholtz training (Adam; optional L-BFGS polish, matching
-    the reference circle scripts' LBFGS phase, helmholtz_2D_circle.py:357-391)."""
+    the reference circle scripts' LBFGS phase, helmholtz_2D_circle.py:357-391;
+    optional Levenberg–Marquardt residual polish — lm_steps > 0 — beyond the
+    reference, same solver as the GPE PL+LM column)."""
     from gpe_tpu.train.optimizers import make_optimizer
     from gpe_tpu.train.hybrid import fit_hybrid
 
@@ -194,10 +232,18 @@ def train_helmholtz(spec: HelmholtzSpec, epochs: int = 4000, lr: float = 1e-3,
                   tol=0.0, patience=10**9, check_every=check_every)
         params, hist = res.params, res.loss_history
 
+    if lm_steps > 0:
+        from gpe_tpu.train.gauss_newton import make_lm_solver
+        lm = make_lm_solver(make_helmholtz_residual_fn(spec), params,
+                            steps=lm_steps, cg_iters=lm_cg_iters)
+        params = lm(params, batch, jnp.float32(spec.k),
+                    jnp.float32(1.0)).params
+
     _, aux = loss_fn(params, batch, jnp.float32(spec.k), jnp.float32(1.0))
     test_pred = mlp.mlp_apply(params["net"], batch["bx_test"], spec.activation)
     test_mae = float(jnp.mean(jnp.abs(test_pred - batch["bu_test"])))
     interior_pred = mlp.mlp_apply(params["net"], batch["x"], spec.activation)
     interior_mse = float(jnp.mean((interior_pred - batch["u_exact"]) ** 2))
     return HelmholtzResult(params, float(aux["k"]), test_mae, interior_mse,
-                           np.asarray(hist))
+                           np.asarray(hist),
+                           k_error=abs(float(aux["k"]) - spec.k))
