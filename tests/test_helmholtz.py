@@ -66,3 +66,44 @@ def test_learnable_k_recovers_wavenumber():
               patience=10**9, check_every=2000)
     _, aux = loss(res.params, batch, jnp.float32(0.0), jnp.float32(1.0))
     assert abs(abs(float(aux["k"])) - 2.0) < 0.1
+
+
+def test_helmholtz_residual_sum_of_squares_matches_loss():
+    """make_helmholtz_residual_fn contract: ‖r‖² equals the training total
+    (fixed weights) — the LM polish then optimizes exactly the trained loss."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpe_tpu.helmholtz.problem import (HelmholtzSpec,
+                                           init_helmholtz_params,
+                                           make_helmholtz_batch,
+                                           make_helmholtz_loss,
+                                           make_helmholtz_residual_fn)
+
+    for spec in (HelmholtzSpec(domain="square", k=2.0, n_interior=256,
+                               n_boundary=32),
+                 HelmholtzSpec(domain="circle", k=3.0, mode_n=1,
+                               n_interior=256, n_boundary=32),
+                 HelmholtzSpec(domain="square", k=3.0, learnable_k=True,
+                               n_interior=256, n_boundary=32)):
+        batch = make_helmholtz_batch(spec, 0)
+        params = init_helmholtz_params(spec, 0)
+        total, _ = make_helmholtz_loss(spec)(params, batch,
+                                             jnp.float32(spec.k),
+                                             jnp.float32(1.0))
+        r = make_helmholtz_residual_fn(spec)(params, batch,
+                                             jnp.float32(spec.k),
+                                             jnp.float32(1.0))
+        np.testing.assert_allclose(float(jnp.sum(r * r)), float(total),
+                                   rtol=1e-5)
+
+
+def test_lm_polish_improves_short_helmholtz():
+    """A short Adam fit followed by the LM polish must reduce test MAE."""
+    from gpe_tpu.helmholtz.problem import HelmholtzSpec, train_helmholtz
+
+    spec = HelmholtzSpec(domain="square", k=2.0, n_interior=512,
+                         n_boundary=64)
+    base = train_helmholtz(spec, epochs=300, lm_steps=0)
+    polished = train_helmholtz(spec, epochs=300, lm_steps=25)
+    assert polished.test_mae < base.test_mae

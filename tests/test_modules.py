@@ -165,3 +165,20 @@ def test_write_error_table(tmp_path):
     import csv as _csv
     rows_read = list(_csv.DictReader(open(csv_path)))
     assert abs(float(rows_read[0]["abs_error"]) - 0.001) < 1e-9
+
+
+def test_lm_solver_chunk_tail_exact_step_count():
+    """steps % chunk != 0: the tail chunk must mask its extra iterations, so
+    chunked and unchunked solvers produce IDENTICAL params (advisor r2 #1)."""
+    batch = make_batch(SPEC, 0)
+    params = mlp.init_mlp(jax.random.PRNGKey(1), SPEC.layers)
+    residual_fn = make_gpe_residual_fn(SPEC)
+    a = make_lm_solver(residual_fn, params, steps=25, cg_iters=20,
+                       chunk=20)(params, batch, 0.0, 0.01)
+    b = make_lm_solver(residual_fn, params, steps=25, cg_iters=20,
+                       chunk=25)(params, batch, 0.0, 0.01)
+    assert a.loss_history.shape == b.loss_history.shape == (25,)
+    np.testing.assert_allclose(a.loss, b.loss, rtol=1e-6)
+    for (wa, ba_), (wb, bb_) in zip(a.params, b.params):
+        np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+        np.testing.assert_array_equal(np.asarray(ba_), np.asarray(bb_))

@@ -66,3 +66,29 @@ def test_imaginary_time_2d_tf_limit():
     mu_tf = float(thomas_fermi_mu_2d_harmonic(100.0, a=0.5))
     assert 0.0 < (mu - mu_tf) / mu_tf < 0.05  # positive kinetic correction
     assert abs(np.sum(psi**2) * dx * dx - 1.0) < 1e-6
+
+
+def test_imaginary_time_dirichlet_free_box():
+    """DST-I Dirichlet mode: free box ground state is analytic —
+    μ = c·d·(π/L)² — and the propagator diagonalizes it exactly."""
+    n, L, c = 127, 8.0, 0.5
+    dx = L / (n + 1)
+    mu, psi = imaginary_time_gpe(np.zeros(n), dx, 0.0, kinetic=c,
+                                 tau=2e-3, steps=30000, bc="dirichlet")
+    assert abs(mu - c * (np.pi / L) ** 2) < 1e-10
+    # state ∝ sin(πx/L) on the interior grid
+    ref = np.sin(np.pi * np.arange(1, n + 1) / (n + 1))
+    ref /= np.sqrt(np.sum(ref * ref) * dx)
+    assert np.max(np.abs(np.abs(psi) - ref)) < 1e-6
+
+
+def test_imaginary_time_dirichlet_matches_periodic_when_confined():
+    """For a confining trap (state decays inside the box) both boundary
+    handlings must produce the same μ."""
+    n = 256
+    x = np.linspace(-10, 10, n, endpoint=False)
+    mu_p, _ = imaginary_time_gpe(x * x, 20 / n, 5.0, richardson=1)
+    xi = -10 + np.arange(1, n + 1) * (20 / (n + 1))
+    mu_d, _ = imaginary_time_gpe(xi * xi, 20 / (n + 1), 5.0, richardson=1,
+                                 bc="dirichlet")
+    assert abs(mu_p - mu_d) < 1e-8
