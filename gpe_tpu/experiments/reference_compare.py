@@ -42,6 +42,7 @@ REF_METHODS = {"PL-PINN": "PL", "PL-PINN (ours)": "PL",
                "Curriculum Training": "Curriculum",
                "Regular PINN": "Vanilla", "Vanilla PINN": "Vanilla"}
 OUR_METHODS = {"PL-PINN": "PL", "PL-PINN-R": "PL-R", "PL-PINN+LM": "PL+LM",
+               "PL-PINN-R+LM": "PL-R+LM",
                "Curriculum Training": "Curriculum",
                "Vanilla PINN": "Vanilla"}
 
@@ -73,9 +74,10 @@ def build_table(runs_root: str = "runs") -> str:
         "provenance audit). `rel%` columns are the apples-to-apples",
         "comparison where μ normalization differs (box/gravity/gaussian).",
         "",
-        "| family | mode | ours PL | ours PL-R | ours PL+LM | ref PL | "
-        "ours Curr | ref Curr | ours Van | ref Van | ours PL rel% | ref PL rel% |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "| family | mode | ours PL | ours PL-R | ours PL+LM | ours PL-R+LM "
+        "| ref PL | ours Curr | ref Curr | ours Van | ref Van | "
+        "ours PL rel% | ref PL rel% |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     fmt = lambda v: f"{v:.2e}" if v is not None else "—"
     for fam, ref_fam in FAMILIES.items():
@@ -91,6 +93,7 @@ def build_table(runs_root: str = "runs") -> str:
             lines.append(
                 f"| {fam} | {mode.split()[-1]} | {fmt(g(ours,'PL'))} | "
                 f"{fmt(g(ours,'PL-R'))} | {fmt(g(ours,'PL+LM'))} | "
+                f"{fmt(g(ours,'PL-R+LM'))} | "
                 f"{fmt(g(ref,'PL'))} | {fmt(g(ours,'Curriculum'))} | "
                 f"{fmt(g(ref,'Curriculum'))} | {fmt(g(ours,'Vanilla'))} | "
                 f"{fmt(g(ref,'Vanilla'))} | {fmt(g(ours,'PL',1))} | "

@@ -142,9 +142,11 @@ def make_lm_solver(residual_fn: Callable, params_template,
 
     def solver(params, batch, gamma, scale) -> LMResult:
         theta, _ = ravel_pytree(params)
-        lam = jnp.asarray(lam0, jnp.float32)
-        gamma = jnp.asarray(gamma, jnp.float32)
-        scale = jnp.asarray(scale, jnp.float32)
+        # scalars follow θ's dtype so the same solver runs f32 (device) and
+        # f64 (host x64 endgame, lm_polish_x64)
+        lam = jnp.asarray(lam0, theta.dtype)
+        gamma = jnp.asarray(gamma, theta.dtype)
+        scale = jnp.asarray(scale, theta.dtype)
         all_losses, all_lams = [], []
         done = 0
         while done < steps:
@@ -159,3 +161,34 @@ def make_lm_solver(residual_fn: Callable, params_template,
         return LMResult(unravel(theta), float(losses[-1]), losses, lams)
 
     return solver
+
+
+def lm_polish_x64(residual_fn: Callable, params, batch, gamma, scale,
+                  steps: int = 20, cg_iters: int = 60,
+                  chunk: int = 10) -> "LMResult":
+    """float64 Levenberg–Marquardt ENDGAME on the host CPU.
+
+    Starts from an (f32, device-polished) state and squeezes out the f32
+    arithmetic floor: everything — forward-Laplacian, residual, CG — runs in
+    f64 under jax.experimental.enable_x64 on the CPU backend, so the returned
+    μ/loss are limited by the ansatz, not the precision. Intended as a short
+    tail (the f32 LM has already converged to its floor); a handful of f64
+    steps on a 1D problem costs seconds-to-minutes of host time.
+
+    Returns LMResult with f64 params (cast as the caller requires)."""
+    import numpy as _np
+
+    from jax.experimental import enable_x64
+
+    cpu = jax.devices("cpu")[0]
+
+    def _to64(a):
+        a = _np.asarray(a)
+        return jnp.asarray(a.astype(_np.float64) if a.dtype.kind == "f" else a)
+
+    with jax.default_device(cpu), enable_x64():
+        p64 = jax.tree.map(_to64, params)
+        b64 = {k: _to64(v) for k, v in batch.items()}
+        lm = make_lm_solver(residual_fn, p64, steps=steps, cg_iters=cg_iters,
+                            chunk=chunk)
+        return lm(p64, b64, float(gamma), float(scale))
