@@ -14,6 +14,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gpe_tpu.losses.balancing import (fixed_weights_total, init_log_alpha,
                                       self_adaptive_total)
@@ -114,6 +115,16 @@ def base_triple(spec: GPESpec, mode: int, x) -> bases.ValGradLap:
         return bases.airy_basis(mode, x)
     if spec.basis == "hermite2d":
         return bases.hermite_product_2d(mode, 0, x)
+    if spec.basis.startswith("numeric:"):
+        # oracle-seeded sine-series base (physics/numeric.py) — lets PL-PINN
+        # run on potentials without an analytic linear eigenbasis (lattice)
+        from gpe_tpu.physics import numeric
+        if spec.basis not in numeric.NUMERIC_BASES:
+            raise KeyError(f"{spec.basis!r} not registered — call "
+                           "physics.numeric.register_numeric_basis first")
+        t = numeric.NUMERIC_BASES[spec.basis](mode, np.asarray(x))
+        return bases.ValGradLap(jnp.asarray(t.value), jnp.asarray(t.grad),
+                                jnp.asarray(t.lap))
     raise ValueError(f"unknown basis {spec.basis!r}")
 
 
