@@ -76,9 +76,12 @@ def main(argv=None):
     ap.add_argument("--plots", action="store_true", help="regenerate plots only")
     args = ap.parse_args(argv)
 
+    # one function-scoped jax import: a branch-local `import jax` would make
+    # `jax` local to main() and UnboundLocalError every other branch that
+    # touches it (bit the helmholtz branch when run without --cpu)
+    import jax
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
         jax.config.update("jax_platforms", "cpu")
 
     from gpe_tpu.experiments.configs import EXPERIMENTS

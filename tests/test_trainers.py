@@ -117,7 +117,8 @@ def test_rebase_preserves_solution_at_rebase_point(hard_bc):
     gamma, scale = jnp.float32(1.0), jnp.float32(0.01)
 
     loss0, aux0 = loss_fn(params, batch, gamma, scale)
-    batch2, params2 = _rebase(spec, batch, params, float(scale))
+    batch2, params2 = _rebase(spec, batch, params, float(scale),
+                              jax.random.PRNGKey(7))
 
     # with the reset output layer zeroed the fold must be EXACT: ψ_new ≡ ψ_old
     w, b = params2[-1]
