@@ -28,9 +28,11 @@ import time
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="runs/gpe2d_lattice")
-    ap.add_argument("--epochs", type=int, default=2500)
+    ap.add_argument("--epochs", type=int, default=4000)
     ap.add_argument("--dgamma", type=float, default=0.5)
-    ap.add_argument("--lm-steps", type=int, default=120)
+    ap.add_argument("--lm-steps", type=int, default=300)
+    ap.add_argument("--polish-x64", action="store_true",
+                    help="f64 host LM endgame + f64 μ at each checkpoint")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -64,7 +66,7 @@ def main(argv=None):
     res = train_plpinn(spec, ramp, modes=(0,), epochs=args.epochs, tol=0.0,
                        patience=10**9, rebase=True, keep_params=False,
                        polish_checkpoints=gammas, lm_steps=args.lm_steps,
-                       verbose=True)
+                       polish_x64=args.polish_x64, verbose=True)
 
     mu = dict(res.mu_table[0])
     polished = (res.polished.get(0, {}) or {}).get("by_gamma", {})

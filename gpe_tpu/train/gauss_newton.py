@@ -170,7 +170,7 @@ def lm_polish_x64(residual_fn: Callable, params, batch, gamma, scale,
 
     Starts from an (f32, device-polished) state and squeezes out the f32
     arithmetic floor: everything — forward-Laplacian, residual, CG — runs in
-    f64 under jax.experimental.enable_x64 on the CPU backend, so the returned
+    f64 under jax.enable_x64(True) on the CPU backend, so the returned
     μ/loss are limited by the ansatz, not the precision. Intended as a short
     tail (the f32 LM has already converged to its floor); a handful of f64
     steps on a 1D problem costs seconds-to-minutes of host time.
@@ -178,7 +178,6 @@ def lm_polish_x64(residual_fn: Callable, params, batch, gamma, scale,
     Returns LMResult with f64 params (cast as the caller requires)."""
     import numpy as _np
 
-    from jax.experimental import enable_x64
 
     cpu = jax.devices("cpu")[0]
 
@@ -186,7 +185,7 @@ def lm_polish_x64(residual_fn: Callable, params, batch, gamma, scale,
         a = _np.asarray(a)
         return jnp.asarray(a.astype(_np.float64) if a.dtype.kind == "f" else a)
 
-    with jax.default_device(cpu), enable_x64():
+    with jax.default_device(cpu), jax.enable_x64(True):
         p64 = jax.tree.map(_to64, params)
         b64 = {k: _to64(v) for k, v in batch.items()}
         lm = make_lm_solver(residual_fn, p64, steps=steps, cg_iters=cg_iters,

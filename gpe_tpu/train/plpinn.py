@@ -137,6 +137,24 @@ def _rebase(spec: GPESpec, batch: dict, params, scale: float,
     return batch, params
 
 
+def _eval_mu_x64(loss_fn, params, batch, gamma: float, scale: float) -> float:
+    """Evaluate μ (the loss aux) in float64 on the host CPU — the reporting
+    twin of gauss_newton.lm_polish_x64."""
+    import numpy as _np
+
+    cpu = jax.devices("cpu")[0]
+
+    def _to64(a):
+        a = _np.asarray(a)
+        return jnp.asarray(a.astype(_np.float64) if a.dtype.kind == "f" else a)
+
+    with jax.default_device(cpu), jax.enable_x64(True):
+        p64 = jax.tree.map(_to64, params)
+        b64 = {k: _to64(v) for k, v in batch.items()}
+        _, aux = loss_fn(p64, b64, jnp.float64(gamma), jnp.float64(scale))
+        return float(aux["mu"])
+
+
 def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
                  tol: float = 1e-5, patience: int = 2000, perturb_const: float = 0.01,
                  lr: float = 1e-3, seed: int = 0, pretrain_epochs: int = 2000,
@@ -145,6 +163,7 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
                  mesh=None, lr_mode: str = "loss_faithful",
                  lm_polish: bool = False, lm_steps: int = 120,
                  lm_cg_iters: int = 80, polish_checkpoints=(),
+                 polish_x64: bool = False, polish_x64_steps: int = 12,
                  verbose: bool = False) -> PLPINNResult:
     """Run the PL-PINN continuation sweep. Reference-parity entry point.
 
@@ -159,7 +178,12 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
     best params mid-ramp (the ramp itself continues from the unpolished
     state). With rebase=True the polish sees the CURRENT folded base — the
     per-checkpoint PL-R+LM column of the paper tables. Results land in
-    PLPINNResult.polished[mode]["by_gamma"] = {γ: μ}."""
+    PLPINNResult.polished[mode]["by_gamma"] = {γ: μ}.
+    polish_x64=True appends a short float64 Levenberg–Marquardt ENDGAME on
+    the host CPU (gauss_newton.lm_polish_x64) after each checkpoint's f32
+    polish and reports μ from a float64 evaluation — squeezes out the f32
+    arithmetic floor (~1e-3-class μ at 2D scale) when the checkpoint number
+    itself is the deliverable."""
     gs = [float(g) for g in gamma_values]
     # continuation ramps in |γ|: ascending for repulsive, descending for the
     # attractive (negative-γ) family (reference ..._negative_interaction_
@@ -256,14 +280,24 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
                                              cg_iters=lm_cg_iters)
                 res_lm = lm_ckpt(params, batch, jnp.float32(gamma),
                                  jnp.float32(scale))
-                _, aux_lm = _jit_polish_eval(loss_fn)(
-                    res_lm.params, batch, jnp.float32(gamma),
-                    jnp.float32(scale))
+                if polish_x64:
+                    from gpe_tpu.train.gauss_newton import lm_polish_x64
+                    res_lm = lm_polish_x64(
+                        make_gpe_residual_fn(spec), res_lm.params, batch,
+                        float(gamma), float(scale), steps=polish_x64_steps,
+                        cg_iters=lm_cg_iters)
+                    mu_ck = _eval_mu_x64(loss_fn, res_lm.params, batch,
+                                         float(gamma), float(scale))
+                else:
+                    _, aux_lm = _jit_polish_eval(loss_fn)(
+                        res_lm.params, batch, jnp.float32(gamma),
+                        jnp.float32(scale))
+                    mu_ck = float(aux_lm["mu"])
                 polished.setdefault(mode, {}).setdefault(
-                    "by_gamma", {})[float(gamma)] = float(aux_lm["mu"])
+                    "by_gamma", {})[float(gamma)] = mu_ck
                 if verbose:
                     print(f"mode {mode} γ={gamma:g}: checkpoint LM μ="
-                          f"{float(aux_lm['mu']):.7f}")
+                          f"{mu_ck:.7f}")
             if rebase:
                 batch, params = _rebase(
                     spec, batch, params, scale,

@@ -154,3 +154,18 @@ def test_vanilla_checkpoints_matches_single_model():
         assert abs(batched[g] - seq.mu) < 5e-3, (g, batched[g], seq.mu)
     # physics anchor: γ=0 ground state has μ=1 exactly
     assert abs(batched[0.0] - 1.0) < 5e-2
+
+
+def test_checkpoint_polish_x64_endgame():
+    """polish_x64 appends a float64 host LM endgame at each checkpoint γ and
+    reports μ from a float64 evaluation — the f32 floor no longer caps the
+    checkpoint numbers (used by experiments/gpe2d_lattice_plpinn.py)."""
+    from gpe_tpu.train import train_plpinn
+
+    spec = GPESpec(**SMALL)
+    res = train_plpinn(spec, [0.0], modes=(0,), epochs=300, tol=0.0,
+                       patience=10**9, pretrain_epochs=300, rebase=True,
+                       polish_checkpoints=[0.0], lm_steps=5,
+                       polish_x64=True, polish_x64_steps=3)
+    mu = res.polished[0]["by_gamma"][0.0]
+    assert abs(mu - 1.0) < 5e-4          # −Δ+x² ground state, γ=0
