@@ -74,7 +74,7 @@ from gpe_tpu.pallas.fused_residual import (LANES, _pad_params,
 
 
 def grad_kernel_tile_cap(layers: Sequence[int], n_runs: int = 1,
-                         budget_bytes: int = 16 * 2**20) -> int:
+                         budget_bytes: int | None = None) -> int:
     """Largest safe row-tile for the pass-2 gradient kernel, from a
     per-point VMEM model of its resident f32 streams.
 
@@ -82,10 +82,21 @@ def grad_kernel_tile_cap(layers: Sequence[int], n_runs: int = 1,
     (σ″, σ‴-term, g²) — (6+d) width-streams each; the final layer holds
     (jz×d, lz); the reverse sweep keeps ~(2d+4) live cotangent streams; the
     base-value/Laplacian inputs add 1 (shared) or LANES (per-run packed)
-    lanes apiece. Calibrated against the measured width-128 / 3-hidden /
-    d=2 point: 4880 f32/pt (Mosaic reported 16.68 MiB at tile=896 vs the
-    16 MiB scoped-VMEM limit) vs 4492 modeled — a 1.09 fudge; we apply
-    1.15 and budget 15.5 MiB so the pick has real headroom."""
+    lanes apiece. Mosaic's scoped-stack allocation exceeds this sum by a
+    scheduler-dependent margin: measured width-128/3-hidden/d=2 points are
+    16.68 MiB at tile=896 (tanh, 1.09× the 4492-f32 model) and 16.18 MiB at
+    tile=784 (shifted_tanh — its σ/σ′/σ″/σ‴ chain keeps more temporaries
+    live, 1.205×). We apply 1.28 over the model and budget 96.875% of the
+    scope so every registered activation picks with real headroom.
+
+    The scope defaults to the TPU's 16 MiB scoped-VMEM limit; if the
+    deployment raises `--xla_tpu_scoped_vmem_limit_kib`, set
+    GPE_TPU_SCOPED_VMEM_KIB to match and larger (faster) tiles qualify."""
+    import os
+
+    if budget_bytes is None:
+        budget_bytes = int(os.environ.get("GPE_TPU_SCOPED_VMEM_KIB",
+                                          16 * 1024)) * 1024
     d = layers[0]
     n_hidden = len(layers) - 2
     W = max(LANES, ((max(layers[1:-1], default=1) + LANES - 1) // LANES)
@@ -93,7 +104,7 @@ def grad_kernel_tile_cap(layers: Sequence[int], n_runs: int = 1,
     base_w = LANES if n_runs > 1 else 1
     floats = (W * ((6 + d) * n_hidden + (d + 1) + (2 * d + 4))
               + max(d, 8) + 2 + 2 * base_w)
-    per_pt = int(floats * 1.15) * 4
+    per_pt = int(floats * 1.28) * 4
     return max(8, (int(budget_bytes * 0.96875) // per_pt) // 8 * 8)
 
 

@@ -103,23 +103,110 @@ def adahessian(learning_rate: float | Callable = 0.1, b1: float = 0.9,
     return optax.GradientTransformationExtraArgs(init, update)
 
 
+class _PNMState(NamedTuple):
+    count: jnp.ndarray
+    m_odd: any      # first-moment buffer updated on odd steps (1-based)
+    m_even: any     # ... on even steps
+    nu: any
+
+
+def scale_by_pnm(b1: float = 0.9, b2: float = 0.999, pnm_factor: float = 1.0,
+                 eps: float = 1e-8) -> optax.GradientTransformation:
+    """Positive–negative momentum (AdaPNM form, Xie et al. 2021) — the first
+    moment Ranger21 uses in place of Adam's. Two momentum buffers are updated
+    on alternating steps (each with β₁² over its two-step cadence) and
+    combined as ((1+k)·m_t − k·m_{t−1})/√((1+k)²+k²): the negative weight on
+    the stale buffer adds stochastic-gradient-noise-aligned perturbation
+    without changing the expected direction. jit-safe (parity via where)."""
+    norm = float(jnp.sqrt((1 + pnm_factor) ** 2 + pnm_factor**2))
+    b1sq = b1 * b1
+
+    def init(params):
+        zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+        return _PNMState(jnp.zeros((), jnp.int32), zeros(), zeros(), zeros())
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        is_odd = (count % 2).astype(jnp.float32)   # 1.0 on steps 1,3,5,...
+
+        def upd_buf(active, buf, g):
+            new = b1sq * buf + (1 - b1sq) * g
+            return active * new + (1 - active) * buf
+
+        m_odd = jax.tree.map(lambda mm, g: upd_buf(is_odd, mm, g),
+                             state.m_odd, grads)
+        m_even = jax.tree.map(lambda mm, g: upd_buf(1 - is_odd, mm, g),
+                              state.m_even, grads)
+        nu = jax.tree.map(lambda vv, g: b2 * vv + (1 - b2) * g * g,
+                          state.nu, grads)
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+
+        def direction(mo, me, vv):
+            m_t = is_odd * mo + (1 - is_odd) * me
+            m_p = is_odd * me + (1 - is_odd) * mo
+            m_pn = ((1 + pnm_factor) * m_t - pnm_factor * m_p) / norm
+            return (m_pn / c1) / (jnp.sqrt(vv / c2) + eps)
+
+        return (jax.tree.map(direction, m_odd, m_even, nu),
+                _PNMState(count, m_odd, m_even, nu))
+
+    return optax.GradientTransformation(init, update)
+
+
+class _LookaheadState(NamedTuple):
+    count: jnp.ndarray
+    slow: any
+
+
+def lookahead(k: int = 5, alpha: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead (Zhang et al. 2019) as a FINAL chain link over plain-pytree
+    params (unlike optax.lookahead, no fast/slow param split — the slow
+    weights live in the optimizer STATE, so it composes with fit()'s scan
+    carry, checkpointing, and shard_map unchanged). Every k-th step the
+    incoming update is replaced by one that lands the params on
+    slow + α·(fast − slow), and the slow copy moves there too."""
+    def init(params):
+        return _LookaheadState(jnp.zeros((), jnp.int32),
+                               jax.tree.map(jnp.asarray, params))
+
+    def update(updates, state, params):
+        assert params is not None, "lookahead needs params in update()"
+        count = state.count + 1
+        sync = (count % k == 0).astype(jnp.float32)
+
+        slows = jax.tree.map(
+            lambda u, p, s: sync * (s + alpha * (p + u - s)) + (1 - sync) * s,
+            updates, params, state.slow)
+        outs = jax.tree.map(
+            lambda u, p, s_new: sync * (s_new - p) + (1 - sync) * u,
+            updates, params, slows)
+        return outs, _LookaheadState(count, slows)
+
+    return optax.GradientTransformation(init, update)
+
+
 def ranger21(learning_rate: float | Callable = 1e-3, b1: float = 0.9,
              b2: float = 0.999, weight_decay: float = 1e-4,
              agc_clip: float = 1e-2, warmup_steps: int = 300,
              warmdown_frac: float = 0.28,
-             total_steps: int | None = None) -> optax.GradientTransformation:
+             total_steps: int | None = None,
+             use_pnm: bool = True, pnm_factor: float = 1.0,
+             lookahead_k: int = 5,
+             lookahead_alpha: float = 0.5) -> optax.GradientTransformation:
     """Ranger21 (Wright & Demeure 2021) — the reference imports it
     (gross_pitaevskii_1D_Different_Optimizers.py:10) but never dispatches it
     (the optimizers dict :540-556 holds Adam/AdamW/DistributedShampoo only).
 
-    TPU-native composition of its core ingredients from optax primitives:
-    gradient centralization → adaptive gradient clipping (AGC) → AdamW with
-    linear warmup (+ optional linear warmdown when total_steps is given).
-    Omitted relative to the original: lookahead (optax.lookahead's fast/slow
-    param split does not compose with fit()'s plain-pytree carry) and
-    positive–negative momentum — both are refinements, not the algorithm's
-    spine; documented here for the parity audit.
-    """
+    TPU-native composition of its ingredients from optax primitives:
+    gradient centralization → adaptive gradient clipping (AGC) →
+    positive–negative momentum core (scale_by_pnm; use_pnm=False falls back
+    to plain Adam moments) → decoupled weight decay → linear warmup
+    (+ linear warmdown when total_steps is given) → lookahead
+    (lookahead_k=0 disables). Omitted relative to the original: the
+    norm-loss regularizer and stable weight decay (loss-shaping terms, not
+    optimizer spine); documented for the parity audit."""
     if callable(learning_rate):
         sched = learning_rate
     elif total_steps is not None:
@@ -131,11 +218,18 @@ def ranger21(learning_rate: float | Callable = 1e-3, b1: float = 0.9,
             [warmup_steps, max(total_steps - down, warmup_steps)])
     else:
         sched = optax.linear_schedule(0.0, learning_rate, warmup_steps)
-    return optax.chain(
+    core = (scale_by_pnm(b1, b2, pnm_factor) if use_pnm
+            else optax.scale_by_adam(b1=b1, b2=b2))
+    links = [
         optax.centralize(),
         optax.adaptive_grad_clip(agc_clip),
-        optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay),
-    )
+        core,
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(sched),
+    ]
+    if lookahead_k and lookahead_k > 1:
+        links.append(lookahead(lookahead_k, lookahead_alpha))
+    return optax.chain(*links)
 
 
 def make_optimizer(name: str, learning_rate: float | Callable = 1e-3,

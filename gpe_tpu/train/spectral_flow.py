@@ -28,6 +28,13 @@ Two phases:
 The network remains the mesh-free carrier of the solution: μ and the PDE
 residual are reported from the net's ANALYTIC forward-Laplacian derivatives,
 not from the grid.
+
+Boundary handling follows validate/imaginary_time.py: bc="periodic" (FFT)
+for confining potentials whose states decay to machine zero inside the box;
+bc="dirichlet" (DST-I on the grid's interior points, boundary rows pinned to
+ψ=0) for NON-confining potentials — e.g. the optical lattice, BASELINE
+config #4 — where the box boundary is a physical part of the Hamiltonian
+and the periodic propagator would flow toward a different ground state.
 """
 from __future__ import annotations
 
@@ -43,6 +50,21 @@ from gpe_tpu.ops.rayleigh import hamiltonian_apply
 from gpe_tpu.train.problem import GPESpec
 from gpe_tpu.train.pretrain import pretrain_to_base
 from gpe_tpu.validate.imaginary_time import imaginary_time_gpe
+
+
+def dst1(a: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Orthonormal DST-I along `axis` via the FFT of the odd extension
+    (involutory; matches scipy.fft.dst(type=1, norm="ortho")). Diagonalizes
+    the Dirichlet Laplacian on m interior points of a box of length (m+1)·dx
+    with modes k_j = πj/L — jnp has no native DST, so this is the on-device
+    transform for the bc="dirichlet" flow."""
+    a = jnp.moveaxis(a, axis, -1)
+    m = a.shape[-1]
+    z = jnp.zeros(a.shape[:-1] + (1,), a.dtype)
+    ext = jnp.concatenate([z, a, z, -a[..., ::-1]], axis=-1)
+    out = -jnp.imag(jnp.fft.fft(ext, axis=-1))[..., 1:m + 1]
+    out = out * jnp.sqrt(1.0 / (2.0 * (m + 1))).astype(a.dtype)
+    return jnp.moveaxis(out, -1, axis)
 
 
 class FlowResult(NamedTuple):
@@ -64,16 +86,26 @@ def make_spectral_flow_solver(spec: GPESpec, outer_steps: int = 150,
                               endgame_steps: int = 60000,
                               endgame_tol: float = 1e-13,
                               polish_steps: int = 0,
-                              polish_cg_iters: int = 60):
+                              polish_cg_iters: int = 60,
+                              bc: str = "periodic"):
     """solver(params, batch, gamma) → FlowResult. Vanilla ansatz (u = net).
 
-    batch must be a full uniform grid from make_batch(spec, mode)."""
+    batch must be a full uniform grid from make_batch(spec, mode). With
+    bc="dirichlet" the flow runs on the grid's interior points via DST-I
+    (boundary rows held at ψ=0 in every distillation target)."""
     n_side = spec.n_points
     dim = spec.dim
     act = spec.activation
     dx = (spec.ub - spec.lb) / (n_side - 1)
-    k1 = 2.0 * jnp.pi * jnp.fft.fftfreq(n_side, d=dx)
-    k2 = k1**2 if dim == 1 else k1[:, None] ** 2 + k1[None, :] ** 2
+    if bc == "periodic":
+        k1 = 2.0 * jnp.pi * jnp.fft.fftfreq(n_side, d=dx)
+        k2 = k1**2 if dim == 1 else k1[:, None] ** 2 + k1[None, :] ** 2
+    elif bc == "dirichlet":
+        m = n_side - 2          # interior points; box length L = (m+1)·dx
+        kd = jnp.pi * jnp.arange(1, m + 1) / ((m + 1) * dx)
+        k2 = kd**2 if dim == 1 else kd[:, None] ** 2 + kd[None, :] ** 2
+    else:
+        raise ValueError(f"unknown bc {bc!r}")
     kin_prop = jnp.exp(-tau * spec.kinetic * k2)
 
     inner_opt = optax.adam(inner_lr)
@@ -82,30 +114,51 @@ def make_spectral_flow_solver(spec: GPESpec, outer_steps: int = 150,
     def _normalize(u):
         return u / jnp.sqrt(jnp.sum(u * u) * vol + 1e-30)
 
+    def _interior(g):
+        return g[1:-1] if dim == 1 else g[1:-1, 1:-1]
+
+    def _embed(gi):
+        full = jnp.zeros((n_side,) * dim, gi.dtype)
+        return (full.at[1:-1].set(gi) if dim == 1
+                else full.at[1:-1, 1:-1].set(gi))
+
+    def _to_spec(g):
+        if bc == "periodic":
+            return jnp.fft.fft(g) if dim == 1 else jnp.fft.fft2(g)
+        return dst1(g) if dim == 1 else dst1(dst1(g, 0), 1)
+
+    def _from_spec(a):
+        if bc == "periodic":
+            return jnp.real(jnp.fft.ifft(a) if dim == 1 else jnp.fft.ifft2(a))
+        return dst1(a) if dim == 1 else dst1(dst1(a, 0), 1)
+
     def _flow_step(u, V, gamma):
+        """One block of imaginary-time substeps on the grid values; takes and
+        returns the FULL grid (dirichlet: boundary re-pinned to 0)."""
         g = u.reshape((n_side,) * dim)
         Vg = V.reshape((n_side,) * dim)
+        if bc == "dirichlet":
+            g, Vg = _interior(g), _interior(Vg)
         for _ in range(flow_substeps):
             pot = Vg + gamma * jnp.abs(g) ** (spec.p - 1.0)
             g = g * jnp.exp(-0.5 * tau * pot)
-            if dim == 1:
-                g = jnp.real(jnp.fft.ifft(jnp.fft.fft(g) * kin_prop))
-            else:
-                g = jnp.real(jnp.fft.ifft2(jnp.fft.fft2(g) * kin_prop))
+            g = _from_spec(_to_spec(g) * kin_prop)
             pot = Vg + gamma * jnp.abs(g) ** (spec.p - 1.0)
             g = g * jnp.exp(-0.5 * tau * pot)
             g = _normalize(g.ravel()).reshape(g.shape)
+        if bc == "dirichlet":
+            g = _embed(g)
         return g.ravel()
 
     def _grid_mu(u, V, gamma):
         g = u.reshape((n_side,) * dim)
-        if dim == 1:
-            lap = jnp.real(jnp.fft.ifft(-k2 * jnp.fft.fft(g))).ravel()
-        else:
-            lap = jnp.real(jnp.fft.ifft2(-k2 * jnp.fft.fft2(g))).ravel()
-        hu = hamiltonian_apply(u, lap, V, gamma, spec.p, spec.kinetic,
+        if bc == "dirichlet":
+            g = _interior(g)
+            V = _interior(V.reshape((n_side,) * dim)).ravel()
+        lap = _from_spec(-k2 * _to_spec(g)).ravel()
+        hu = hamiltonian_apply(g.ravel(), lap, V, gamma, spec.p, spec.kinetic,
                                spec.nonlinearity)
-        return jnp.sum(u * hu) * vol
+        return jnp.sum(g.ravel() * hu) * vol
 
     def _distill_scan(params, opt_state, x, target, length):
         def inner(c, _):
@@ -179,10 +232,21 @@ def make_spectral_flow_solver(spec: GPESpec, outer_steps: int = 150,
         v = np.asarray(mlp.mlp_apply(params, batch["x"], act), np.float64)
         u0 = (v / np.sqrt(np.sum(v * v) * vol)).reshape((n_side,) * dim)
         V64 = np.asarray(batch["V"], np.float64).reshape((n_side,) * dim)
-        mu_grid, psi = imaginary_time_gpe(
-            V64, dx, float(gamma), kinetic=spec.kinetic, p=spec.p,
-            tau=endgame_tau, steps=endgame_steps, tol=endgame_tol, psi0=u0,
-            richardson=True)
+        if bc == "dirichlet":
+            sl = (slice(1, -1),) * dim
+            u0i = u0[sl].copy()
+            u0i /= np.sqrt(np.sum(u0i * u0i) * vol)
+            mu_grid, psi_i = imaginary_time_gpe(
+                V64[sl], dx, float(gamma), kinetic=spec.kinetic, p=spec.p,
+                tau=endgame_tau, steps=endgame_steps, tol=endgame_tol,
+                psi0=u0i, richardson=True, bc="dirichlet")
+            psi = np.zeros((n_side,) * dim)
+            psi[sl] = psi_i
+        else:
+            mu_grid, psi = imaginary_time_gpe(
+                V64, dx, float(gamma), kinetic=spec.kinetic, p=spec.p,
+                tau=endgame_tau, steps=endgame_steps, tol=endgame_tol, psi0=u0,
+                richardson=True)
         target = jnp.asarray(psi.ravel(), batch["x"].dtype)
 
         # The interleaved phase fits normalize(out), leaving the net's raw

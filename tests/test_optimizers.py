@@ -158,3 +158,72 @@ def test_reduce_on_plateau_inside_fit_runs():
     res = fit(loss_fn, opt, params, batch, 0.0, 1.0, epochs=200,
               check_every=100, tol=0.0, patience=10**9)
     assert np.isfinite(res.best_loss)
+
+
+def test_lookahead_sync_semantics():
+    """k=2, α=0.5 over plain SGD: after the sync step the params must land on
+    slow + α·(fast − slow) with the slow copy moved there (hand-computed)."""
+    from gpe_tpu.train.optimizers import lookahead
+    lr = 0.1
+    opt = optax.chain(optax.sgd(lr), lookahead(k=2, alpha=0.5))
+    p = {"w": jnp.asarray([1.0])}
+    state = opt.init(p)
+    g = {"w": jnp.asarray([1.0])}       # constant gradient
+    # step 1 (no sync): fast = 1 − 0.1 = 0.9
+    u, state = opt.update(g, state, p)
+    p = optax.apply_updates(p, u)
+    assert np.allclose(p["w"], 0.9)
+    # step 2 (sync): fast = 0.8; slow = 1 + 0.5·(0.8−1) = 0.9 → params = 0.9
+    u, state = opt.update(g, state, p)
+    p = optax.apply_updates(p, u)
+    assert np.allclose(p["w"], 0.9)
+    # step 3 (no sync): 0.9 − 0.1 = 0.8
+    u, state = opt.update(g, state, p)
+    p = optax.apply_updates(p, u)
+    assert np.allclose(p["w"], 0.8)
+    # step 4 (sync): fast 0.7, slow 0.9 + 0.5·(0.7−0.9) = 0.8
+    u, state = opt.update(g, state, p)
+    p = optax.apply_updates(p, u)
+    assert np.allclose(p["w"], 0.8)
+
+
+def test_pnm_converges_and_alternates_buffers():
+    from gpe_tpu.train.optimizers import scale_by_pnm
+    loss = _quadratic([1.0, 10.0, 100.0])
+    params = {"w": jnp.asarray([1.0, 1.0, 1.0])}
+    opt = optax.chain(scale_by_pnm(), optax.scale(-5e-2))
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        g = jax.grad(loss)(p)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    params, state = step(params, state)
+    pnm_state = state[0]
+    # step 1 (odd) touched only the odd buffer
+    assert float(jnp.abs(pnm_state.m_odd["w"]).sum()) > 0
+    assert float(jnp.abs(pnm_state.m_even["w"]).sum()) == 0.0
+    for _ in range(400):
+        params, state = step(params, state)
+    assert float(loss(params)) < 1e-5
+
+
+def test_ranger21_full_converges_on_quadratic():
+    """Full Ranger21 (centralize→AGC→PNM→wd→warmup lr→lookahead) in one jit
+    scan — the exact composition fit() would carry."""
+    from gpe_tpu.train.optimizers import ranger21
+    loss = _quadratic([1.0, 10.0, 100.0])
+    params = {"w": jnp.asarray([1.0, 1.0, 1.0])}
+    opt = ranger21(5e-2, warmup_steps=20, weight_decay=0.0, total_steps=600)
+    state = opt.init(params)
+
+    def body(c, _):
+        p, s = c
+        g = jax.grad(loss)(p)
+        u, s = opt.update(g, s, p)
+        return (optax.apply_updates(p, u), s), None
+
+    (params, _), _ = jax.lax.scan(body, (params, state), None, length=600)
+    assert float(loss(params)) < 1e-4

@@ -191,16 +191,24 @@ def test_train_plpinn_modes_packed_physics():
 
 
 def test_grad_kernel_tile_cap_models_measured_vmem():
-    # calibration anchor: width-128 / 3-hidden / d=2 measured 16.68 MiB at
-    # tile=896 (Mosaic scoped-VMEM failure on the 50k-pt flagship) — the cap
-    # must stay below 896 there and keep 1-D paper specs at full tile
+    # calibration anchors: width-128 / 3-hidden / d=2 measured 16.68 MiB at
+    # tile=896 (tanh) and 16.18 MiB at tile=784 (shifted_tanh, 21642 B/pt) —
+    # Mosaic scoped-VMEM failures on the 50k-pt flagship shapes. The cap must
+    # stay strictly below both failing tiles and fit the worst measured
+    # per-point footprint into the 16 MiB scope with headroom.
     from gpe_tpu.pallas.fused_grad import grad_kernel_tile_cap
     cap2d = grad_kernel_tile_cap((2, 128, 128, 128, 1))
-    assert cap2d < 896
-    # measured: 4880 f32/pt -> the pick must actually fit the 16 MiB scope
-    assert cap2d * 4880 * 4 <= 16 * 2**20
-    # 1-D width-64 (padded to 128) keeps a >=896 cap (fits comfortably)
-    assert grad_kernel_tile_cap((1, 64, 64, 64, 1)) >= 896
+    assert cap2d < 784
+    assert cap2d * 21642 <= 16 * 2**20          # shifted_tanh measured B/pt
+    # 1-D width-64 (padded to 128) keeps the 4000-pt paper tile (800) legal
+    assert grad_kernel_tile_cap((1, 64, 64, 64, 1)) >= 800
     # packed runs add per-run base lanes -> cap can only shrink
     assert grad_kernel_tile_cap((1, 64, 64, 64, 1), n_runs=8) <= \
         grad_kernel_tile_cap((1, 64, 64, 64, 1))
+    # raising the deployment's scoped-VMEM limit raises the cap accordingly
+    import os
+    os.environ["GPE_TPU_SCOPED_VMEM_KIB"] = "32768"
+    try:
+        assert grad_kernel_tile_cap((2, 128, 128, 128, 1)) > cap2d
+    finally:
+        del os.environ["GPE_TPU_SCOPED_VMEM_KIB"]
