@@ -1,16 +1,21 @@
-"""Probe: does raising `--xla_tpu_scoped_vmem_limit_kib` reach the TPU through
+"""Probe: does raising `xla_tpu_scoped_vmem_limit_kib` reach the TPU through
 this image's tunnel compile helper, and does it unlock larger fused-gradient
 tiles?
+
+Route: per-compile `compiler_options` on jit(...).lower().compile() — the
+tunnel's compile helper forwards proto-backed xla_* debug options per-compile
+(its startup log says so), while env routes are dead: the terminal's
+LIBTPU_INIT_ARGS/XLA_FLAGS override the client's, and the LOCAL jax client
+aborts parsing TPU-only flags in XLA_FLAGS (parse_flags_from_env fatal).
 
 Builds the pass-2 gradient kernel at the exact shape that OOMed the 16 MiB
 scope (width-128 shifted_tanh, tile=784 → Mosaic measured 16.18 MiB,
 /tmp/queue_ab_relaxed_fused.log round 3) with the scope raised to 32 MiB, runs
-one real step, and times tile 784 vs the 16 MiB-safe 512 so the flag's perf
-value is a number, not a guess.
+one real step, and times tiles 512/784/1024 so the option's perf value is a
+number, not a guess.
 
 Run on TPU:  python benchmarks/probe_scoped_vmem.py
-Exit 0 + JSON line on success; the OOM reproducing means the flag is NOT
-forwarded and the 16 MiB cap model stays authoritative.
+Exit 0 + JSON line; a tile OOM is recorded per-tile instead of aborting.
 """
 from __future__ import annotations
 
@@ -19,14 +24,10 @@ import os
 import sys
 import time
 
-# must precede any jax import
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_tpu_scoped_vmem_limit_kib=32768")
-os.environ["GPE_TPU_SCOPED_VMEM_KIB"] = "32768"
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 K1, K2 = 30, 120
+COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
 
 
 def step_timer(vag, params, batch, opt):
@@ -40,7 +41,6 @@ def step_timer(vag, params, batch, opt):
     def make(K):
         opt_state = opt.init(params)
 
-        @jax.jit
         def run():
             def body(c, _):
                 p, st = c
@@ -49,7 +49,7 @@ def step_timer(vag, params, batch, opt):
                 return (optax.apply_updates(p, updates), st), total
             (_, _), tots = lax.scan(body, (params, opt_state), None, length=K)
             return tots[-1]
-        return run
+        return jax.jit(run).lower().compile(compiler_options=COMPILER_OPTS)
 
     f1, f2 = make(K1), make(K2)
     float(f1())
