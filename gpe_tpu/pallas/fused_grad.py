@@ -70,6 +70,7 @@ import jax.numpy as jnp
 from gpe_tpu.ops.laplacian import (activation_from_values, activation_quad,
                                    activation_triple)
 from gpe_tpu.pallas.fused_residual import (LANES, _pad_params,
+                                           kernel_vmem_limit_bytes,
                                            make_pallas_loss_eval)
 
 
@@ -89,14 +90,13 @@ def grad_kernel_tile_cap(layers: Sequence[int], n_runs: int = 1,
     live, 1.205×). We apply 1.28 over the model and budget 96.875% of the
     scope so every registered activation picks with real headroom.
 
-    The scope defaults to the TPU's 16 MiB scoped-VMEM limit; if the
-    deployment raises `--xla_tpu_scoped_vmem_limit_kib`, set
-    GPE_TPU_SCOPED_VMEM_KIB to match and larger (faster) tiles qualify."""
-    import os
-
+    The budget defaults to the limit the kernels request from Mosaic via
+    `CompilerParams(vmem_limit_bytes=...)` (64 MiB — see
+    fused_residual.kernel_vmem_limit_bytes; the calibration anchors above
+    were measured against Mosaic's 16 MiB default scope before the raise).
+    GPE_TPU_SCOPED_VMEM_KIB overrides both together."""
     if budget_bytes is None:
-        budget_bytes = int(os.environ.get("GPE_TPU_SCOPED_VMEM_KIB",
-                                          16 * 1024)) * 1024
+        budget_bytes = kernel_vmem_limit_bytes()
     d = layers[0]
     n_hidden = len(layers) - 2
     W = max(LANES, ((max(layers[1:-1], default=1) + LANES - 1) // LANES)
@@ -380,6 +380,8 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         outs = pl.pallas_call(
             kernel, grid=(grid,), in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape, interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=kernel_vmem_limit_bytes()),
         )(scal, xp, V.astype(jnp.float32).reshape(-1, 1),
           w.astype(jnp.float32).reshape(-1, 1), bval, blap, *flat)
 

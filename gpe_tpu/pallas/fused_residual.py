@@ -13,9 +13,11 @@ from which μ = S₁/S₂, pde = (S₀ − 2μS₁ + μ²S₂)/N and the normali
 Measured on TPU v5e (224² points, [2,100,100,100,1]) with honest device
 timing (forced-fetch scan regression — `jax.block_until_ready` does not
 synchronize on this image's tunnel backend, see bench.py): ~2.5e8 pts/s at
-tile=3584 (41 TF/s, ≈84% of the v5e's f32 MXU rate) vs ~8.6e7 pts/s for the
-unfused XLA path, which is HBM-bandwidth-bound for these skinny 100-wide
-GEMMs (~25 FLOP/byte → ~20 TF/s roofline). Keeping all channel state
+tile=1792 (41 TF/s, ≈84% of the v5e's f32 MXU rate; the 2026-08-18 tile
+sweep runs/probe_scoped_vmem/tile_sweep.json has 1792 beating 3136/3584/7168
+at the padded-128 shape) vs ~8.6e7 pts/s for the unfused XLA path, which is
+HBM-bandwidth-bound for these skinny 100-wide GEMMs (~25 FLOP/byte →
+~20 TF/s roofline). Keeping all channel state
 VMEM-resident across layers is a 3–4× win. `compute_dtype=bfloat16` runs the
 GEMMs at the MXU's bf16 rate with f32 accumulation — measured neutral here
 (the fused kernel is bound by the f32 VPU elementwise work: activation
@@ -40,6 +42,25 @@ import jax.numpy as jnp
 from gpe_tpu.ops.laplacian import activation_triple
 
 LANES = 128
+
+
+def kernel_vmem_limit_bytes() -> int:
+    """Per-kernel Mosaic VMEM limit for the fused kernels.
+
+    Mosaic's default scoped-VMEM limit is 16 MiB, which caps the gradient
+    kernel at row tiles <784 (width-128, shifted_tanh) and the eval kernel
+    at 3136 for packed runs. Raising the limit per kernel via
+    `pltpu.CompilerParams(vmem_limit_bytes=...)` travels with the kernel
+    (no `--xla_tpu_scoped_vmem_limit_kib` deployment flag needed) and
+    unlocks larger, faster tiles: measured +4% on the pass-2 gradient at
+    tile 1024 vs the 16 MiB-safe 512 (runs/probe_scoped_vmem/result.json).
+    Default 64 MiB — half a v5e core's 128 MiB VMEM, leaving the other half
+    for XLA's surrounding buffers; GPE_TPU_SCOPED_VMEM_KIB overrides (and
+    feeds the tile-cap model, fused_grad.grad_kernel_tile_cap)."""
+    import os
+
+    kib = int(os.environ.get("GPE_TPU_SCOPED_VMEM_KIB", 64 * 1024))
+    return min(kib, 100 * 1024) * 1024
 
 
 def pallas_supported() -> bool:
@@ -230,6 +251,8 @@ def make_pallas_loss_eval(layers: Sequence[int], activation: str = "tanh",
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((1, LANES), jnp.float32),
             interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=kernel_vmem_limit_bytes()),
         )(jnp.reshape(jnp.asarray(gamma, jnp.float32), (1, M)),
           jnp.reshape(jnp.asarray(scale, jnp.float32), (1, M)),
           xp, V.astype(jnp.float32).reshape(-1, 1),

@@ -314,13 +314,15 @@ def _pick_tile(n: int, cap: int) -> int | None:
     return None
 
 
-def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 896,
+def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 1568,
                               sum_tile_cap: int = 1792,
                               relaxed: bool | None = None,
                               n_shards: int = 1):
-    # sum_tile 3584 overflows the 16MB VMEM scope for 128-wide nets with the
-    # perturbation base streams (measured 16.64M); 1792 is safe and costs
-    # ~13% on pass 1 only
+    # Tile caps are measured, not modeled: with the kernels' 64 MiB Mosaic
+    # VMEM limit (fused_residual.kernel_vmem_limit_bytes) the width-128
+    # flagship shape times 896/1568 ≈ +3% over the old 16 MiB-safe 784 on
+    # the grad kernel, and 1792 beats 3136/3584/7168 on the eval kernel
+    # (runs/probe_scoped_vmem/tile_sweep.json).
     """The fused Pallas training gradient (pallas/fused_grad.py, ~5× the XLA
     step on TPU) for eligible specs, else None — callers fall back to the
     standard jax.value_and_grad path inside fit().

@@ -197,18 +197,26 @@ def test_grad_kernel_tile_cap_models_measured_vmem():
     # stay strictly below both failing tiles and fit the worst measured
     # per-point footprint into the 16 MiB scope with headroom.
     from gpe_tpu.pallas.fused_grad import grad_kernel_tile_cap
-    cap2d = grad_kernel_tile_cap((2, 128, 128, 128, 1))
-    assert cap2d < 784
-    assert cap2d * 21642 <= 16 * 2**20          # shifted_tanh measured B/pt
+    MIB16 = 16 * 2**20
+    cap2d_16 = grad_kernel_tile_cap((2, 128, 128, 128, 1), budget_bytes=MIB16)
+    assert cap2d_16 < 784
+    assert cap2d_16 * 21642 <= MIB16            # shifted_tanh measured B/pt
     # 1-D width-64 (padded to 128) keeps the 4000-pt paper tile (800) legal
-    assert grad_kernel_tile_cap((1, 64, 64, 64, 1)) >= 800
+    # even at the conservative 16 MiB budget
+    assert grad_kernel_tile_cap((1, 64, 64, 64, 1), budget_bytes=MIB16) >= 800
     # packed runs add per-run base lanes -> cap can only shrink
     assert grad_kernel_tile_cap((1, 64, 64, 64, 1), n_runs=8) <= \
         grad_kernel_tile_cap((1, 64, 64, 64, 1))
-    # raising the deployment's scoped-VMEM limit raises the cap accordingly
+    # the default budget follows the kernels' requested Mosaic limit (64 MiB
+    # via CompilerParams(vmem_limit_bytes), fused_residual) — caps scale up,
+    # and the env override moves both together
+    cap2d = grad_kernel_tile_cap((2, 128, 128, 128, 1))
+    assert cap2d > cap2d_16
     import os
-    os.environ["GPE_TPU_SCOPED_VMEM_KIB"] = "32768"
+    os.environ["GPE_TPU_SCOPED_VMEM_KIB"] = "16384"
     try:
-        assert grad_kernel_tile_cap((2, 128, 128, 128, 1)) > cap2d
+        assert grad_kernel_tile_cap((2, 128, 128, 128, 1)) == cap2d_16
+        from gpe_tpu.pallas.fused_residual import kernel_vmem_limit_bytes
+        assert kernel_vmem_limit_bytes() == MIB16
     finally:
         del os.environ["GPE_TPU_SCOPED_VMEM_KIB"]
