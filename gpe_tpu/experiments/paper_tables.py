@@ -37,10 +37,19 @@ def _families():
             spec=GPESpec(lb=-10.0, ub=10.0, potential="harmonic",
                          basis="hermite", p=3.0, **paper),
             modes=(0, 1, 2, 3, 4, 5), checkpoints=CHECKPOINTS),
+        # baseline protocol override: the box eigenvalues are 1-2 orders
+        # larger than the other families' (μ up to ~500), so the direct-net
+        # baselines must MOVE μ by ~150 within the budget — the lr=1e-4
+        # default underconverges (curriculum mean abs err 8-32) and at
+        # lr=1e-3 the loss-faithful schedule kicks the pretrained net out
+        # of its minimum. A/B (runs/ab_box_baselines/summary.json):
+        # warmup_cosine@1e-3 lands curriculum at 3.3/7.3 on the worst modes
+        # (3/5), at or below the reference's published 7.98/16.0.
         "p3_box": dict(
             spec=GPESpec(lb=0.0, ub=1.0, potential="box", basis="box",
                          hard_bc=True, p=3.0, **paper),
-            modes=(0, 1, 2, 3, 4, 5), checkpoints=CHECKPOINTS),
+            modes=(0, 1, 2, 3, 4, 5), checkpoints=CHECKPOINTS,
+            baseline=dict(lr=1e-3, lr_mode="warmup_cosine")),
         # NOTE: the reference's gravity ramp is 401 steps (Δγ=0.25,
         # gravity_well_pinn_simulation.py main); we keep the Δγ=0.5 ramp all
         # our families use — coarser, i.e. a HARDER continuation protocol —
@@ -136,7 +145,9 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
                tol: float = 0.0, patience: int = 2000,
                ramp_step: float = 0.5, seed: int = 42,
                lr_mode: str = "loss_faithful", packed: bool = False,
-               baseline_lr: float = 1e-4, only_baselines: bool = False,
+               baseline_lr: float | None = None,
+               baseline_lr_mode: str | None = None,
+               only_baselines: bool = False,
                modes_filter=None, verbose: bool = True) -> dict:
     """tol=0 (default) runs every method to the full ≤5001-epoch budget and
     keeps the best state — the reference's tol=1e-5 early exit saves time but
@@ -144,17 +155,22 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
     harmonic mode 4: mean μ err 2.3e-3 with tol=1e-5 vs 2.6e-4 with the full
     budget, same LR behavior). Pass tol=1e-5 for the budget-exact protocol.
 
-    baseline_lr: base LR for the DIRECT-NET baselines (curriculum, vanilla)
-    only — the PL methods keep lr=1e-3 (matches the reference's published
-    PL band). A/B (benchmarks/ab_p16_baseline.py, TPU): at 1e-3 Adam's first
-    full-LR step throws the warm start out of the pretrain minimum and the
-    budget never re-descends, so best-restore freezes (or worse, locks a
-    decayed state: p16 γ=100 err 0.54); at 1e-4 the baselines actually
-    train (p16 γ=100 err 4.4e-3, the reference's published 1e-3-class
-    band). The reference's own train_gpe_model signature defaults to
-    lr=1e-5 (vary_potential_parameter_harmonic.py:346) and its baseline
-    generator is uncommitted, so a lower baseline LR is the protocol most
-    consistent with its published numbers.
+    baseline_lr / baseline_lr_mode: protocol for the DIRECT-NET baselines
+    (curriculum, vanilla) only — the PL methods keep lr=1e-3/lr_mode
+    (matches the reference's published PL band). None (default) resolves to
+    the family's `baseline` override in _families() when present, else
+    (1e-4, lr_mode). A/B evidence: (benchmarks/ab_p16_baseline.py, TPU) at
+    1e-3 under the loss-faithful schedule Adam's first full-LR step throws
+    the warm start out of the pretrain minimum and the budget never
+    re-descends, so best-restore freezes (or worse, locks a decayed state:
+    p16 γ=100 err 0.54); at 1e-4 the baselines actually train (p16 γ=100
+    err 4.4e-3). The exception is the large-μ box family where 1e-4
+    underconverges — see the p3_box `baseline` entry and
+    runs/ab_box_baselines/summary.json (warmup_cosine@1e-3 wins). The
+    reference's own train_gpe_model signature defaults to lr=1e-5
+    (vary_potential_parameter_harmonic.py:346) and its baseline generator
+    is uncommitted, so these A/B-chosen protocols are our best-effort fair
+    baselines, not a port of a committed reference protocol.
 
     only_baselines=True reuses the PL/PL-R/PL+LM (and PL-R+LM when present)
     columns from the existing out_dir/raw_comparison_results.csv and retrains
@@ -178,6 +194,11 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
     from gpe_tpu.utils.metrics import write_error_table
 
     fam = _families()[family]
+    bl = fam.get("baseline", {})
+    if baseline_lr is None:
+        baseline_lr = bl.get("lr", 1e-4)
+    if baseline_lr_mode is None:
+        baseline_lr_mode = bl.get("lr_mode", lr_mode)
     spec, modes = fam["spec"], fam["modes"]
     if modes_filter is not None:
         modes = tuple(m for m in modes if m in set(modes_filter))
@@ -302,7 +323,7 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
                                        tol=max(tol, 1e-5),
                                        patience=bl_patience,
                                        seed=seed, lr=baseline_lr,
-                                       lr_mode=lr_mode)
+                                       lr_mode=baseline_lr_mode)
         # Vanilla: one pretrain + ONE vmapped fit over the 6 checkpoint γs
         # (per-run gamma in fit_ensemble) — same per-run protocol as the
         # earlier sequential train_single_model loop, ~6× fewer device
@@ -310,7 +331,8 @@ def run_family(family: str, out_dir: str, epochs: int = 5001,
         van_mu = train_vanilla_checkpoints(spec, checkpoints, mode,
                                            epochs=epochs, tol=tol,
                                            patience=bl_patience, seed=seed,
-                                           lr=baseline_lr, lr_mode=lr_mode)
+                                           lr=baseline_lr,
+                                           lr_mode=baseline_lr_mode)
 
         method_mus = {"PL-PINN": pl_mu, "PL-PINN-R": plr_mu,
                       "PL-PINN+LM": lm_mu, "PL-PINN-R+LM": plrlm_mu,
@@ -389,14 +411,21 @@ def main(argv=None):
     ap.add_argument("--ramp-step", type=float, default=0.5)
     ap.add_argument("--lr-mode", default="loss_faithful",
                     choices=("loss_faithful", "cosine", "constant",
-                             "warmup_faithful"))
+                             "warmup_faithful", "warmup_cosine"))
     ap.add_argument("--modes", default=None,
                     help="comma-separated mode subset: rerun only these "
                          "modes and merge with the existing raw CSV")
     ap.add_argument("--packed", action="store_true",
                     help="train all modes lane-packed into each fused kernel")
-    ap.add_argument("--baseline-lr", type=float, default=1e-4,
-                    help="base LR for the curriculum/vanilla baselines")
+    ap.add_argument("--baseline-lr", type=float, default=None,
+                    help="base LR for the curriculum/vanilla baselines "
+                         "(default: the family's baseline override in "
+                         "_families(), else 1e-4)")
+    ap.add_argument("--baseline-lr-mode", default=None,
+                    choices=("loss_faithful", "cosine", "constant",
+                             "warmup_faithful", "warmup_cosine"),
+                    help="LR schedule for the baselines (default: the "
+                         "family override, else --lr-mode)")
     ap.add_argument("--only-baselines", action="store_true",
                     help="reuse PL columns from the existing raw CSV and "
                          "retrain only the baseline columns")
@@ -406,6 +435,7 @@ def main(argv=None):
     run_family(args.family, out, epochs=args.epochs, ramp_step=args.ramp_step,
                lr_mode=args.lr_mode, packed=args.packed,
                baseline_lr=args.baseline_lr,
+               baseline_lr_mode=args.baseline_lr_mode,
                only_baselines=args.only_baselines, modes_filter=mf)
     return 0
 

@@ -74,6 +74,24 @@ def ramp_optimizer(lr: float = 1e-3, lr_mode: str = "loss_faithful"):
             optax.clip_by_global_norm(1.0), optax.scale_by_adam(),
             scale_by_loss_as_step(sched),
             optax.scale_by_schedule(lambda c: jnp.minimum(1.0, c / 200.0)))
+    if lr_mode == "warmup_cosine":
+        # 200-step linear warmup into the AUTHORED cosine-warm-restart
+        # schedule over epochs. For large-μ families (box: μ up to ~500,
+        # loss ≫ 1 throughout) the loss-faithful schedule degenerates —
+        # scale_by_loss_as_step samples the cosine at "epoch" = loss, which
+        # for loss ≫ T₀ is an effectively random point of the restart cycle
+        # — so the direct-net baselines get warmup (no kick-out of the
+        # pretrained minimum, ab_p16_baseline.py) + a real decaying schedule
+        # (tracks the μ shift within the budget, which lr=1e-4 constant-ish
+        # cannot: box mode 3 moved 158→176 of the needed →188 in 5001
+        # epochs).
+        import optax
+        sched = cosine_warm_restarts(lr, T_0=200, T_mult=2, eta_min=1e-6)
+        return optax.chain(
+            optax.clip_by_global_norm(1.0), optax.scale_by_adam(),
+            optax.scale_by_schedule(
+                lambda c: sched(c) * jnp.minimum(1.0, c / 200.0)),
+            optax.scale(-1.0))
     raise ValueError(f"unknown lr_mode {lr_mode!r}")
 
 
