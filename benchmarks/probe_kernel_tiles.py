@@ -81,8 +81,6 @@ def main():
                 norm_weight=spec.norm_weight, tile=tile, sum_tile=1792)
 
             def make(K):
-                opt_state = opt.init(params)
-
                 @jax.jit
                 def run():
                     def body(c, _):
