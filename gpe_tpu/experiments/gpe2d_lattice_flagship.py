@@ -92,7 +92,14 @@ def main(argv=None):
         if i == 0:
             # the first rung starts from the (coarse) pretrain fit; a second
             # pass re-runs the distill/polish from the converged state and
-            # costs ~1 min — measured 3.5e-3 → sub-1e-3 on the γ=0 row
+            # costs ~1 min — measured 3.5e-3 → 1.5e-3 on the γ=0 row.
+            # Tested and NOT adopted: more passes (up to 4, 2026-08-18 log
+            # /tmp/lattice_flagship_r3c) drive pde_loss 4.9e-6 → 5.7e-7 but
+            # WORSEN μ to 3.1e-3 — at γ=0 the lattice problem is linear and
+            # its lowest 9-well band is near-degenerate, so the residual is
+            # flat against band contamination and polishing it harder does
+            # not improve the Rayleigh μ. The γ>0 rungs are unaffected
+            # (nonlinearity splits the band; 1.4–2.9e-4 either way).
             res = solver(res.params, batch, g)
         params = res.params
         mu_ref = float(cache["mu_refs"][i])

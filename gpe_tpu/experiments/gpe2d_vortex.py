@@ -17,7 +17,12 @@ def main(argv=None):
     ap.add_argument("--gamma", type=float, default=50.0)
     ap.add_argument("--omegas", type=float, nargs="*", default=[0.0, 0.7, 0.9])
     ap.add_argument("--width", type=int, default=128)
-    ap.add_argument("--fit-epochs", type=int, default=6000)
+    ap.add_argument("--fit-epochs", type=int, default=12000)
+    ap.add_argument("--lbfgs-steps", type=int, default=800)
+    # 60 LM steps left the net at pde_loss ~1e-3 / μ err 2.7e-2 at Ω=0.7
+    # (round-2 committed run) — the complex residual converges slower than
+    # the real lattice one (5e-6 at the same step count)
+    ap.add_argument("--polish-steps", type=int, default=240)
     ap.add_argument("--out", default="runs/gpe2d_vortex")
     args = ap.parse_args(argv)
 
@@ -37,8 +42,9 @@ def main(argv=None):
                             gamma=args.gamma, omega=omega)
         t1 = time.time()
         res = train_rotating_vortex(spec, fit_epochs=args.fit_epochs,
-                                    lbfgs_steps=400, polish_steps=60,
-                                    verbose=True)
+                                    lbfgs_steps=args.lbfgs_steps,
+                                    polish_steps=args.polish_steps,
+                                    polish_cg_iters=100, verbose=True)
         row = {"omega": omega, "mu_net": res.mu, "mu_grid": res.mu_grid,
                "abs_err": abs(res.mu - res.mu_grid), "lz_net": res.lz,
                "lz_grid": res.lz_grid, "n_vortices": res.n_vortices,
