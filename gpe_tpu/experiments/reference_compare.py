@@ -20,6 +20,7 @@ Run: python -m gpe_tpu.experiments.reference_compare [--write runs/reference_par
 from __future__ import annotations
 
 import csv
+import json
 import os
 
 REF_ROOT = "/root/reference/Gross-Pitaevskii/src/final/refine"
@@ -65,7 +66,30 @@ def _load(path: str, mapping: dict) -> dict:
     return out
 
 
+def _load_flags(runs_root: str) -> dict:
+    """(family, mode, method) -> ratio for published reference cells the
+    committed reference artifacts cannot reproduce (ratio = mean |Δμ| of the
+    reference's own committed model pickles over its published claim, from
+    benchmarks/audit_reference_pickles.py; >3× flags the cell)."""
+    path = os.path.join(runs_root, "reference_parity",
+                        "provenance_audit.json")
+    flags = {}
+    if not os.path.exists(path):
+        return flags
+    with open(path) as f:
+        audit = json.load(f)
+    meth_of = {"regular": "Vanilla", "curriculum": "Curriculum"}
+    for fam, by_kind in audit.items():
+        for kind, by_mode in by_kind.items():
+            for mode, v in by_mode.items():
+                r = v.get("ratio_committed_over_published")
+                if r is not None and r > 3.0:
+                    flags[(fam, mode, meth_of[kind])] = r
+    return flags
+
+
 def build_table(runs_root: str = "runs") -> str:
+    flags = _load_flags(runs_root)
     lines = [
         "# Parity vs the reference's published comparison tables",
         "",
@@ -90,14 +114,32 @@ def build_table(runs_root: str = "runs") -> str:
         modes = sorted({m for m, _ in ours}, key=lambda s: int(s.split()[-1]))
         for mode in modes:
             g = lambda d, meth, i=0: (d.get((mode, meth)) or (None, None))[i]
+            mnum = mode.split()[-1]
+
+            def ref_cell(meth):
+                mark = "†" if (fam, mnum, meth) in flags else ""
+                return fmt(g(ref, meth)) + mark
+
             lines.append(
-                f"| {fam} | {mode.split()[-1]} | {fmt(g(ours,'PL'))} | "
+                f"| {fam} | {mnum} | {fmt(g(ours,'PL'))} | "
                 f"{fmt(g(ours,'PL-R'))} | {fmt(g(ours,'PL+LM'))} | "
                 f"{fmt(g(ours,'PL-R+LM'))} | "
                 f"{fmt(g(ref,'PL'))} | {fmt(g(ours,'Curriculum'))} | "
-                f"{fmt(g(ref,'Curriculum'))} | {fmt(g(ours,'Vanilla'))} | "
-                f"{fmt(g(ref,'Vanilla'))} | {fmt(g(ours,'PL',1))} | "
+                f"{ref_cell('Curriculum')} | {fmt(g(ours,'Vanilla'))} | "
+                f"{ref_cell('Vanilla')} | {fmt(g(ours,'PL',1))} | "
                 f"{fmt(g(ref,'PL',1))} |")
+    if flags:
+        worst = max(flags.values())
+        lines += [
+            "",
+            "† unreproducible: evaluating the reference's OWN committed "
+            "model pickles with its own Rayleigh-μ convention misses this "
+            "published cell by the shown-in-audit factor (3×–"
+            f"{worst:.0f}×; benchmarks/audit_reference_pickles.py → "
+            "runs/reference_parity/provenance_audit.json). The producing "
+            "script for both the pickles and the published CSVs is absent "
+            "from the reference repository.",
+        ]
     return "\n".join(lines) + "\n"
 
 

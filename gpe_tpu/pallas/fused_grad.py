@@ -48,9 +48,21 @@ descent direction that converges to the same fixed points (at stationarity c
 is stationary, so the exact and relaxed gradients coincide), while pass 2
 itself emits this step's sums S as extra outputs — making the reported loss
 and μ EXACT for the current params with ONE kernel per step. The relaxed vag
-is stateful (carries S); fit() threads the state through its scan carry.
-Convergence parity with the exact mode is enforced by
-tests/test_pallas_grad.py::test_delayed_mode_converges_like_exact.
+is stateful (carries (S_{t−1}, S_{t−2}, step)); fit() threads the state
+through its scan carry. Convergence parity with the exact mode is enforced
+by tests/test_pallas_grad.py::test_delayed_mode_exact_loss_and_convergence.
+
+Relaxed-mode bias control (round-4 A/B, runs/ab_relaxed_fused): the stale-μ
+error in the cotangents adds a spurious gradient term ≈ 2·S₂·(μ_t−μ_{t−1})·
+∂μ/∂θ /n — proportional to the PER-STEP sum motion, which is why the plain
+relaxed arm drifts basins during the fast early phase of each γ rung. Two
+zero-/low-cost correctors:
+  • extrapolate=True — cotangents from the linear prediction
+    2·S_{t−1} − S_{t−2} ≈ S_t + O(δ²): kills the O(δ) bias with NO extra
+    kernel work (the state already holds both past sums).
+  • refresh_every=K — every K steps run pass 1 for the current params and
+    use its EXACT cotangents (that step is the exact two-pass step);
+    amortized cost pass1/K.
 
 Scope: vanilla (u = scale·net(x)) AND perturbation (u = base + scale·net(x))
 ansätze — the base (value, Laplacian) streams enter as constant per-point
@@ -116,7 +128,9 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                                tile: int = 896, sum_tile: int = 1792,
                                interpret: bool = False,
                                compute_dtype=jnp.float32,
-                               delayed: bool = False, n_runs: int = 1):
+                               delayed: bool = False, n_runs: int = 1,
+                               refresh_every: int = 0,
+                               extrapolate: bool = False):
     """Build vag(params, batch, gamma, scale) -> ((total, aux), grads) with
     the same contract as jax.value_and_grad(make_loss_fn(spec), has_aux=True)
     for a vanilla-ansatz GPESpec. `tile` is the backward row-tile (smaller
@@ -477,13 +491,17 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
     def init_state(params, batch, gamma, scale, axis_name=None):
         """Exact sums of the INITIAL params — the first step's cotangent
         weights (one pass-1 kernel, once per fit). Under shard_map the state
-        holds the GLOBAL (psum-reduced) sums, replicated on every shard."""
+        holds the GLOBAL (psum-reduced) sums, replicated on every shard.
+        State = (S_{t−1}, S_{t−2}, step); both histories start at the exact
+        initial sums so step 0's cotangents are exact with or without
+        extrapolation."""
         sums = collocation_sums(
             params, batch["x"], batch["V"], batch["w"], gamma, scale,
             batch.get("base_val"), batch.get("base_lap"))
         if axis_name is not None:
             sums = jax.lax.psum(sums, axis_name)
-        return jnp.stack(sums)
+        s = jnp.stack(sums)
+        return (s, s, jnp.zeros((), jnp.int32))
 
     def vag_relaxed(params, batch, gamma, scale, state, axis_name=None):
         x, V, w = batch["x"], batch["V"], batch["w"]
@@ -495,8 +513,28 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         bbv = batch.get("base_bval", jnp.float32(0.0))
         # state carries GLOBAL sums (psum'd at the previous step), so the
         # cotangents are identical on every shard
+        sums_prev, sums_prev2, step = state
+        if extrapolate:
+            # linear prediction S_t ≈ 2·S_{t−1} − S_{t−2}: O(δ²) cotangent
+            # bias instead of O(δ), no extra kernel work
+            sums_cot = 2.0 * sums_prev - sums_prev2
+        else:
+            sums_cot = sums_prev
+        if refresh_every:
+            # exact two-pass step every K: pass 1 under the cond runs only
+            # on refresh steps; the psum stays OUTSIDE the cond (uniform
+            # collective under shard_map), reducing zeros otherwise
+            do = ((step % refresh_every) == 0) & (step > 0)
+            fresh = jax.lax.cond(
+                do,
+                lambda _: jnp.stack(collocation_sums(
+                    params, x, V, w, gamma, scale, bval, blap)),
+                lambda _: jnp.zeros_like(sums_prev), None)
+            if axis_name is not None:
+                fresh = jax.lax.psum(fresh, axis_name)
+            sums_cot = jnp.where(do, fresh, sums_cot)
         _, _, _, cots_prev = _loss_and_cots(
-            (state[0], state[1], state[2], state[3]), n)
+            (sums_cot[0], sums_cot[1], sums_cot[2], sums_cot[3]), n)
         cgrads, sums_new = collocation_grads(params, x, V, w, gamma, scale,
                                              cots_prev, bval, blap)
         if axis_name is not None:
@@ -509,7 +547,7 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
         aux = {"pde": pde, "boundary": bmean, "norm": norm,
                "mu": mu, "total": total}
         return ((total, aux), _merge(cgrads, bgrads, params),
-                jnp.stack(sums_new))
+                (jnp.stack(sums_new), sums_prev, step + 1))
 
     vag_relaxed.stateful = True
     vag_relaxed.psum_aware = True

@@ -146,7 +146,8 @@ def fit_ensemble_packed(spec, params_batch, batch, gamma, scale,
                         patience: int = 2000, check_every: int = 512,
                         lr: float = 1e-3, lr_mode: str = "cosine",
                         clip_norm: float = 1.0, per_run_base: dict = None,
-                        interpret: bool = False) -> EnsembleFitResult:
+                        interpret: bool = False,
+                        mesh=None) -> EnsembleFitResult:
     """fit_ensemble twin running the lane-packed fused kernels. Same result
     contract; the optimizer is built internally (packed_ramp_optimizer) —
     pass lr/lr_mode instead of an optax object.
@@ -156,7 +157,13 @@ def fit_ensemble_packed(spec, params_batch, batch, gamma, scale,
     lets runs of DIFFERENT modes pack into one kernel (the packed multi-mode
     continuation); keys present here override the shared `batch` entries.
 
-    interpret=True runs the kernels in interpret mode (CPU tests)."""
+    interpret=True runs the kernels in interpret mode (CPU tests).
+
+    mesh (jax.sharding.Mesh) shards the R//M packed UNITS across devices on
+    the run axis (shard_map over the unit axis; the collocation batch
+    replicates, each device advances its units' kernels independently — no
+    cross-device communication, embarrassingly linear like
+    fit_ensemble(mesh=)). R//M must be a multiple of the mesh size."""
     from gpe_tpu.train.problem import make_packed_value_and_grad
 
     R = jax.tree.leaves(params_batch)[0].shape[0]
@@ -230,7 +237,24 @@ def fit_ensemble_packed(spec, params_batch, batch, gamma, scale,
 
     carry = jax.vmap(init_unit)(
         jax.tree.map(jnp.asarray, packed), gamma, scale, ub)
-    run_chunk = jax.jit(jax.vmap(chunk))
+    chunk_v = jax.vmap(chunk)
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from gpe_tpu.parallel.mesh import shard_ensemble
+        ax = mesh.axis_names[0]
+        assert U % mesh.size == 0, (
+            f"packed unit count {U} must divide over the {mesh.size}-device "
+            f"mesh")
+        carry = shard_ensemble(carry, mesh, ax)
+        gamma = shard_ensemble(gamma, mesh, ax)
+        scale = shard_ensemble(scale, mesh, ax)
+        ub = shard_ensemble(ub, mesh, ax)
+        chunk_v = shard_map(chunk_v, mesh=mesh,
+                            in_specs=(P(ax), P(ax), P(ax), P(ax)),
+                            out_specs=(P(ax), (P(ax), P(ax))),
+                            check_vma=False)
+    run_chunk = jax.jit(chunk_v)
 
     losses, mus = [], []
     steps_done = 0
@@ -262,7 +286,15 @@ def fit_ensemble_packed(spec, params_batch, batch, gamma, scale,
             (_, aux), _ = vag(p, unit_batch(ubd), g, s)
         return aux["mu"]
 
-    mu_best = np.asarray(jax.jit(jax.vmap(best_mu))(
+    best_mu_v = jax.vmap(best_mu)
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        ax = mesh.axis_names[0]
+        best_mu_v = shard_map(best_mu_v, mesh=mesh,
+                              in_specs=(P(ax), P(ax), P(ax), P(ax)),
+                              out_specs=P(ax), check_vma=False)
+    mu_best = np.asarray(jax.jit(best_mu_v)(
         carry.best_params, gamma, scale, ub)).reshape(R)
     return EnsembleFitResult(
         params=best, final_params=final,

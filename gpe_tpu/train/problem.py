@@ -317,7 +317,9 @@ def _pick_tile(n: int, cap: int) -> int | None:
 def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 1568,
                               sum_tile_cap: int = 1792,
                               relaxed: bool | None = None,
-                              n_shards: int = 1):
+                              n_shards: int = 1,
+                              refresh_every: int | None = None,
+                              extrapolate: bool | None = None):
     # Tile caps are measured, not modeled: with the kernels' 64 MiB Mosaic
     # VMEM limit (fused_residual.kernel_vmem_limit_bytes) the width-128
     # flagship shape times 896/1568 ≈ +3% over the old 16 MiB-safe 784 on
@@ -335,8 +337,13 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 1568,
 
     relaxed=True (or GPE_TPU_RELAXED_FUSED=1) selects the one-step-relaxed
     single-kernel mode: exact loss, gradient cotangent weights one step
-    stale, ~15-25%% faster (pallas/fused_grad.py). fit() handles the
+    stale, ~1.3× faster per step (pallas/fused_grad.py). fit() handles the
     stateful contract transparently. Default: the exact two-pass gradient.
+    Bias correctors for the relaxed mode (see fused_grad.py, round-4 A/B):
+    extrapolate (GPE_TPU_RELAXED_EXTRAP=1) predicts the cotangent sums
+    linearly — O(δ²) bias at zero cost; refresh_every=K
+    (GPE_TPU_RELAXED_REFRESH=K) makes every K-th step the exact two-pass
+    step.
 
     n_shards > 1 sizes the row tiles for collocation-sharded execution under
     fit(mesh=): each device's kernel sees n/n_shards local points, so the
@@ -347,6 +354,10 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 1568,
 
     if relaxed is None:
         relaxed = bool(os.environ.get("GPE_TPU_RELAXED_FUSED"))
+    if refresh_every is None:
+        refresh_every = int(os.environ.get("GPE_TPU_RELAXED_REFRESH", "0"))
+    if extrapolate is None:
+        extrapolate = bool(os.environ.get("GPE_TPU_RELAXED_EXTRAP"))
 
     from gpe_tpu.ops.laplacian import ACTIVATION_QUADS
     from gpe_tpu.pallas import make_pallas_value_and_grad, pallas_supported
@@ -384,13 +395,16 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 1568,
     return make_pallas_value_and_grad(
         spec.layers, spec.activation, spec.p, spec.kinetic, spec.nonlinearity,
         bc_weight=spec.bc_weight, norm_weight=spec.norm_weight,
-        tile=tile, sum_tile=sum_tile, delayed=relaxed)
+        tile=tile, sum_tile=sum_tile, delayed=relaxed,
+        refresh_every=refresh_every, extrapolate=extrapolate)
 
 
 def make_packed_value_and_grad(spec: GPESpec, n_runs: int,
                                tile_cap: int = 896, sum_tile_cap: int = 1792,
                                relaxed: bool | None = None,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               refresh_every: int | None = None,
+                               extrapolate: bool | None = None):
     """The lane-packed fused gradient for ENSEMBLES of narrow nets
     (pallas/packing.py + the kernels' n_runs mode): M runs per kernel, so
     the ≥16k single-run size gate of make_fused_value_and_grad does NOT
@@ -404,6 +418,10 @@ def make_packed_value_and_grad(spec: GPESpec, n_runs: int,
 
     if relaxed is None:
         relaxed = bool(os.environ.get("GPE_TPU_RELAXED_FUSED"))
+    if refresh_every is None:
+        refresh_every = int(os.environ.get("GPE_TPU_RELAXED_REFRESH", "0"))
+    if extrapolate is None:
+        extrapolate = bool(os.environ.get("GPE_TPU_RELAXED_EXTRAP"))
 
     from gpe_tpu.ops.laplacian import ACTIVATION_QUADS
     from gpe_tpu.pallas import make_pallas_value_and_grad, pallas_supported
@@ -433,4 +451,5 @@ def make_packed_value_and_grad(spec: GPESpec, n_runs: int,
         spec.layers, spec.activation, spec.p, spec.kinetic, spec.nonlinearity,
         bc_weight=spec.bc_weight, norm_weight=spec.norm_weight,
         tile=tile, sum_tile=sum_tile, delayed=relaxed, n_runs=n_runs,
-        interpret=interpret)
+        interpret=interpret, refresh_every=refresh_every,
+        extrapolate=extrapolate)

@@ -95,14 +95,20 @@ def test_sharded_relaxed_stateful_matches_unsharded():
     st_ref = vag.init_state(params, batch, g, s)
     sbatch = shard_batch(batch, mesh)
     st = jax.jit(svag.init_state)(params, sbatch, g, s)
-    np.testing.assert_allclose(np.asarray(st), np.asarray(st_ref), rtol=1e-5)
+
+    def _assert_state_close(a, b):
+        # state = (S_prev, S_prev2, step) — compare leaf-wise
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5)
+
+    _assert_state_close(st, st_ref)
 
     for _ in range(2):
         (rt, _), rgrads, st_ref = vag(params, batch, g, s, st_ref)
         (t, _), grads, st = jax.jit(svag)(params, sbatch, g, s, st)
         np.testing.assert_allclose(float(t), float(rt), rtol=1e-6)
-        np.testing.assert_allclose(np.asarray(st), np.asarray(st_ref),
-                                   rtol=1e-5)
+        _assert_state_close(st, st_ref)
         _assert_tree_close(grads, rgrads, atol=1e-5)
         # walk params downhill a little so step 2 sees fresh state
         params = jax.tree.map(lambda p, gr: p - 1e-3 * gr, params, rgrads)

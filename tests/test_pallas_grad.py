@@ -186,3 +186,54 @@ def test_delayed_mode_exact_loss_and_convergence():
     np.testing.assert_allclose(r_d.best_loss, r_e.best_loss, rtol=5e-2)
     np.testing.assert_allclose(r_d.mu_history[-1], r_e.mu_history[-1],
                                rtol=5e-3)
+
+
+def test_relaxed_refresh_and_extrapolate_modes():
+    """Round-4 bias correctors for the relaxed mode (pallas/fused_grad.py):
+    refresh_every=1 makes every step>0 the exact two-pass step (gradient
+    equals the exact vag's), and extrapolate=True predicts the cotangent
+    sums linearly — under uniform parameter motion its gradient error vs the
+    exact gradient must be far below the plain one-step-stale mode's."""
+    spec = GPESpec(dim=1, n_points=512, layers=(1, 32, 32, 1),
+                   potential="harmonic", lb=-8.0, ub=8.0,
+                   nonlinearity="power", use_perturbation=True,
+                   basis="hermite", activation="tanh")
+    batch = make_batch(spec, 0)
+    p0 = mlp.init_mlp(jax.random.PRNGKey(0), spec.layers)
+    g, s = jnp.float32(2.0), jnp.float32(0.05)
+    kw = dict(bc_weight=spec.bc_weight, norm_weight=spec.norm_weight,
+              tile=256, sum_tile=512, interpret=True, delayed=True)
+    mk = lambda **extra: make_pallas_value_and_grad(
+        spec.layers, spec.activation, spec.p, spec.kinetic,
+        spec.nonlinearity, **kw, **extra)
+    vag_r, vag_f, vag_x = mk(), mk(refresh_every=1), mk(extrapolate=True)
+    vag_exact = make_pallas_value_and_grad(
+        spec.layers, spec.activation, spec.p, spec.kinetic,
+        spec.nonlinearity, **{**kw, "delayed": False})
+
+    # two uniform parameter steps so the linear sum prediction is near-exact
+    # (step size in the optimizer-update regime, ~1e-4·grad: at 1e-2 the
+    # quadratic term of S(θ) dominates and extrapolation overshoots — the
+    # measured crossover is in RESULTS.md round 4)
+    _, gr0 = vag_exact(p0, batch, g, s)
+    p1 = jax.tree.map(lambda p, d: p - 1e-4 * d, p0, gr0)
+    p2 = jax.tree.map(lambda a, b: 2.0 * a - b, p1, p0)  # p2−p1 = p1−p0
+
+    def advance(vag):
+        st = vag.init_state(p0, batch, g, s)
+        _, _, st = vag(p0, batch, g, s, st)     # step 0 (exact state)
+        _, _, st = vag(p1, batch, g, s, st)     # step 1
+        return vag(p2, batch, g, s, st)         # step 2 — compare grads here
+
+    _, g_exact = vag_exact(p2, batch, g, s)
+    (_, _), g_r, _ = advance(vag_r)
+    (_, _), g_f, _ = advance(vag_f)
+    (_, _), g_x, _ = advance(vag_x)
+
+    err = lambda gr: max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(g_exact)))
+    # refresh_every=1: step 2 is the exact step
+    assert err(g_f) < 1e-6 + 1e-5 * err(g_r), (err(g_f), err(g_r))
+    # extrapolation kills the O(δ) bias: ≥5× closer than plain relaxed
+    assert err(g_x) < 0.2 * err(g_r), (err(g_x), err(g_r))
