@@ -41,7 +41,9 @@ def _spec():
                    basis="hermite", kinetic=0.5, nonlinearity="abs_power")
 
 
-def step_time(spec, relaxed: bool) -> float:
+def step_time(spec, relaxed: bool, refresh_every: int = 0,
+              extrapolate: bool = False, exact_until: int = 0,
+              fresh_values: bool = False) -> float:
     """Per-step device time of the fused training step via the K2−K1 scan
     regression with a forced fetch (the only honest timing on this image's
     non-synchronizing tunnel backend — see bench.py)."""
@@ -53,7 +55,11 @@ def step_time(spec, relaxed: bool) -> float:
     from gpe_tpu.train import make_batch
     from gpe_tpu.train.problem import make_fused_value_and_grad
 
-    vag = make_fused_value_and_grad(spec, relaxed=relaxed)
+    vag = make_fused_value_and_grad(spec, relaxed=relaxed,
+                                    refresh_every=refresh_every,
+                                    extrapolate=extrapolate,
+                                    exact_until=exact_until,
+                                    fresh_values=fresh_values)
     assert vag is not None, "spec must be fused-eligible"
     batch = make_batch(spec, 0)
     params = mlp.init_mlp(jax.random.PRNGKey(0), spec.layers)
@@ -95,12 +101,47 @@ def step_time(spec, relaxed: bool) -> float:
     return max((best(f2) - best(f1)) / (K2 - K1), 1e-9)
 
 
-def run_arm(spec, relaxed: bool):
+# arm name -> env settings (None value = unset).
+# Round-4a arms (committed in runs/ab_relaxed_fused/summary_r4a.json) showed
+# periodic refresh K∈{8,32,128} barely moves the γ≥10 bias (2.5-3.0 vs plain
+# 3.1) while extrapolation halves it — the bias is a delay-induced feedback
+# instability, not accumulated drift. Round-4b arms target the feedback
+# channel: fresh_values recomputes the value-only sums S₂/S₃ exactly every
+# step (the norm cotangent's sign is the unstable loop), exact_until front-
+# loads exact steps into each rung's fast phase.
+ARMS = {
+    "exact": {"GPE_TPU_RELAXED_FUSED": None},
+    "relaxed": {"GPE_TPU_RELAXED_FUSED": "1"},
+    "relaxed_extrap": {"GPE_TPU_RELAXED_FUSED": "1",
+                       "GPE_TPU_RELAXED_EXTRAP": "1"},
+    "relaxed_fresh": {"GPE_TPU_RELAXED_FUSED": "1",
+                      "GPE_TPU_RELAXED_FRESH": "1"},
+    "relaxed_fresh_extrap": {"GPE_TPU_RELAXED_FUSED": "1",
+                             "GPE_TPU_RELAXED_FRESH": "1",
+                             "GPE_TPU_RELAXED_EXTRAP": "1"},
+    "relaxed_exact300": {"GPE_TPU_RELAXED_FUSED": "1",
+                         "GPE_TPU_RELAXED_EXACT_UNTIL": "300"},
+    "relaxed_fresh_exact300": {"GPE_TPU_RELAXED_FUSED": "1",
+                               "GPE_TPU_RELAXED_FRESH": "1",
+                               "GPE_TPU_RELAXED_EXACT_UNTIL": "300"},
+}
+
+ENV_KEYS = ("GPE_TPU_RELAXED_FUSED", "GPE_TPU_RELAXED_REFRESH",
+            "GPE_TPU_RELAXED_EXTRAP", "GPE_TPU_RELAXED_FRESH",
+            "GPE_TPU_RELAXED_EXACT_UNTIL")
+
+
+def _set_env(env):
+    for k in ENV_KEYS:
+        os.environ.pop(k, None)
+    for k, v in env.items():
+        if v is not None:
+            os.environ[k] = v
+
+
+def run_arm(spec, env):
     from gpe_tpu.train import train_plpinn
-    if relaxed:
-        os.environ["GPE_TPU_RELAXED_FUSED"] = "1"
-    else:
-        os.environ.pop("GPE_TPU_RELAXED_FUSED", None)
+    _set_env(env)
     t0 = time.time()
     res = train_plpinn(spec, GAMMAS, modes=(0,), epochs=EPOCHS, tol=0.0,
                        patience=10**9, rebase=True, keep_params=False,
@@ -116,13 +157,26 @@ def main():
     jax.config.update("jax_default_matmul_precision", "highest")
     spec = _spec()
 
-    dt_exact = step_time(spec, relaxed=False)
-    dt_relaxed = step_time(spec, relaxed=True)
-    print(json.dumps({"step_exact_s": dt_exact, "step_relaxed_s": dt_relaxed,
-                      "step_speedup": dt_exact / dt_relaxed}), flush=True)
+    arm_kw = {
+        "exact": dict(relaxed=False),
+        "relaxed": dict(relaxed=True),
+        "relaxed_extrap": dict(relaxed=True, extrapolate=True),
+        "relaxed_fresh": dict(relaxed=True, fresh_values=True),
+        "relaxed_fresh_extrap": dict(relaxed=True, fresh_values=True,
+                                     extrapolate=True),
+        "relaxed_exact300": dict(relaxed=True, exact_until=300),
+        "relaxed_fresh_exact300": dict(relaxed=True, fresh_values=True,
+                                       exact_until=300),
+    }
+    steps = {name: step_time(spec, **kw) for name, kw in arm_kw.items()}
+    print(json.dumps({f"step_{k}_s": v for k, v in steps.items()}),
+          flush=True)
 
-    mu_e, wall_e = run_arm(spec, relaxed=False)
-    mu_r, wall_r = run_arm(spec, relaxed=True)
+    mus, walls = {}, {}
+    for name, env in ARMS.items():
+        mus[name], walls[name] = run_arm(spec, env)
+        print(json.dumps({"arm": name, "wall_s": round(walls[name], 1),
+                          "mu_final": mus[name][GAMMAS[-1]]}), flush=True)
 
     from gpe_tpu.validate.imaginary_time import imaginary_time_gpe
     x1 = np.linspace(-8, 8, 384)
@@ -131,20 +185,34 @@ def main():
                                    GAMMAS[-1], kinetic=0.5, tau=2e-3,
                                    richardson=True)
 
-    rows = [{"gamma": g, "mu_exact": mu_e[g], "mu_relaxed": mu_r[g],
-             "delta_mu": abs(mu_e[g] - mu_r[g])} for g in GAMMAS]
+    mu_e = mus["exact"]
+    rows = []
+    for g in GAMMAS:
+        row = {"gamma": g, "mu_exact": mu_e[g]}
+        for name in ARMS:
+            if name == "exact":
+                continue
+            row[f"mu_{name}"] = mus[name][g]
+            row[f"delta_{name}"] = abs(mus[name][g] - mu_e[g])
+        rows.append(row)
+
     summary = {
-        "spec": "BASELINE#3 2D harmonic 224^2 width-128, PL-PINN rebase ramp",
+        "spec": "BASELINE#3-style 2D harmonic 160^2 width-128, PL-PINN "
+                "rebase ramp (VERDICT r4 #1 arms)",
         "epochs_per_gamma": EPOCHS,
         "rows": rows,
-        "max_delta_mu": max(r["delta_mu"] for r in rows),
         "mu_ref_final": mu_ref,
-        "final_err_exact": abs(mu_e[GAMMAS[-1]] - mu_ref),
-        "final_err_relaxed": abs(mu_r[GAMMAS[-1]] - mu_ref),
-        "step_exact_s": dt_exact, "step_relaxed_s": dt_relaxed,
-        "step_speedup": round(dt_exact / dt_relaxed, 4),
-        "wall_exact_s": round(wall_e, 1), "wall_relaxed_s": round(wall_r, 1),
-        "wall_speedup": round(wall_e / wall_r, 4),
+        "final_err": {name: abs(mus[name][GAMMAS[-1]] - mu_ref)
+                      for name in ARMS},
+        "max_delta_mu": {name: max(abs(mus[name][g] - mu_e[g])
+                                   for g in GAMMAS)
+                         for name in ARMS if name != "exact"},
+        "step_s": steps,
+        "step_speedup_vs_exact": {name: round(steps["exact"] / steps[name], 4)
+                                  for name in ARMS},
+        "wall_s": {name: round(walls[name], 1) for name in ARMS},
+        "wall_speedup_vs_exact": {
+            name: round(walls["exact"] / walls[name], 4) for name in ARMS},
     }
     os.makedirs("runs/ab_relaxed_fused", exist_ok=True)
     with open("runs/ab_relaxed_fused/summary.json", "w") as f:

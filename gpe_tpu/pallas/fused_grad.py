@@ -130,7 +130,9 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
                                compute_dtype=jnp.float32,
                                delayed: bool = False, n_runs: int = 1,
                                refresh_every: int = 0,
-                               extrapolate: bool = False):
+                               extrapolate: bool = False,
+                               exact_until: int = 0,
+                               fresh_values: bool = False):
     """Build vag(params, batch, gamma, scale) -> ((total, aux), grads) with
     the same contract as jax.value_and_grad(make_loss_fn(spec), has_aux=True)
     for a vanilla-ansatz GPESpec. `tile` is the backward row-tile (smaller
@@ -488,6 +490,31 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
     if not delayed:
         return vag
 
+    def _value_sums(params, x, w, scale, base_val):
+        """Fresh (S₂, S₃) = (Σu², Σu²w) from a value-only XLA forward — no
+        Jacobian/Laplacian channels, so ~5% of the fused kernel's FLOPs.
+        Rationale (round-4 A/B, runs/ab_relaxed_fused): the relaxed mode's
+        γ≥10 bias is NOT accumulated drift (refresh_every K=8 barely moved
+        it) but a delay-induced feedback instability, dominated by the norm
+        cotangent c₃ = 2λ(S₃−1), whose SIGN flips as S₃ crosses 1 — a
+        one-step-stale sign pushes outward half of every oscillation. S₂/S₃
+        need only u (not Hu), so they can be exact every step at negligible
+        cost; only the Laplacian-heavy S₀/S₁ stay relaxed."""
+        from gpe_tpu.models.mlp import mlp_apply
+
+        v = mlp_apply(params, x, activation)         # (N,) or (N, M)
+        if M > 1:
+            u = v.reshape(-1, M) * jnp.reshape(scale, (1, M))
+            if base_val is not None:
+                b = jnp.asarray(base_val, jnp.float32)
+                u = u + (b.reshape(-1, 1) if b.ndim == 1 else b)
+            ww = jnp.reshape(w, (-1, 1))
+            return jnp.sum(u * u, axis=0), jnp.sum(u * u * ww, axis=0)
+        u = scale * v
+        if base_val is not None:
+            u = u + jnp.asarray(base_val, jnp.float32).reshape(-1)
+        return jnp.sum(u * u), jnp.sum(u * u * jnp.reshape(w, (-1,)))
+
     def init_state(params, batch, gamma, scale, axis_name=None):
         """Exact sums of the INITIAL params — the first step's cotangent
         weights (one pass-1 kernel, once per fit). Under shard_map the state
@@ -520,11 +547,17 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
             sums_cot = 2.0 * sums_prev - sums_prev2
         else:
             sums_cot = sums_prev
-        if refresh_every:
-            # exact two-pass step every K: pass 1 under the cond runs only
-            # on refresh steps; the psum stays OUTSIDE the cond (uniform
-            # collective under shard_map), reducing zeros otherwise
-            do = ((step % refresh_every) == 0) & (step > 0)
+        if refresh_every or exact_until:
+            # exact two-pass step when selected: pass 1 under the cond runs
+            # only then; the psum stays OUTSIDE the cond (uniform collective
+            # under shard_map), reducing zeros otherwise.
+            # exact_until=E runs a contiguous exact PREFIX — the fast early
+            # phase of a rung, where the per-step sum motion (and hence the
+            # relaxed-cotangent bias) is large; refresh_every=K adds
+            # periodic exact steps after that.
+            do = (step > 0) & (step < exact_until)
+            if refresh_every:
+                do = do | (((step % refresh_every) == 0) & (step > 0))
             fresh = jax.lax.cond(
                 do,
                 lambda _: jnp.stack(collocation_sums(
@@ -533,6 +566,12 @@ def make_pallas_value_and_grad(layers: Sequence[int], activation: str = "tanh",
             if axis_name is not None:
                 fresh = jax.lax.psum(fresh, axis_name)
             sums_cot = jnp.where(do, fresh, sums_cot)
+        if fresh_values:
+            s2f, s3f = _value_sums(params, x, w, scale, bval)
+            fresh23 = jnp.stack([s2f, s3f])
+            if axis_name is not None:
+                fresh23 = jax.lax.psum(fresh23, axis_name)
+            sums_cot = jnp.concatenate([sums_cot[:2], fresh23])
         _, _, _, cots_prev = _loss_and_cots(
             (sums_cot[0], sums_cot[1], sums_cot[2], sums_cot[3]), n)
         cgrads, sums_new = collocation_grads(params, x, V, w, gamma, scale,

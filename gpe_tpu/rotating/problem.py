@@ -127,16 +127,24 @@ class RotatingResult(NamedTuple):
     n_vortices: int
     pde_loss: float
     fit_mse: float
+    energy: float = 0.0  # mesh-free GP energy E[ψ_net] (γ/2 interaction) —
+    # the ordering statistic for near-degenerate vortex configurations
 
 
 def train_rotating_vortex(spec: RotatingSpec, fit_epochs: int = 4000,
                           lbfgs_steps: int = 300, polish_steps: int = 60,
                           polish_cg_iters: int = 60, oracle_tau: float = 2e-3,
                           oracle_steps: int = 40000, seed: int = 0,
+                          target=None,
                           verbose: bool = False) -> RotatingResult:
     """Solve the rotating-frame GPE: f64 ADI oracle → distill (Re, Im) into
     the complex net → LM polish of the normalized complex residual → report
-    the mesh-free μ and ⟨L_z⟩."""
+    the mesh-free μ and ⟨L_z⟩.
+
+    target: optional (psi (n,n) complex, mu_grid, lz_grid) triple replacing
+    the internally-run oracle — the configuration-matched path
+    (experiments/gpe2d_vortex_config.py) distills a SPECIFIC grid-refined
+    vortex configuration rather than whatever basin the default seed finds."""
     from gpe_tpu.train.gauss_newton import make_lm_solver
     from gpe_tpu.train.pretrain import pretrain_to_base
     from gpe_tpu.validate.rotating import (rotating_imaginary_time,
@@ -148,9 +156,13 @@ def train_rotating_vortex(spec: RotatingSpec, fit_epochs: int = 4000,
     X, Y = np.meshgrid(x1, x1, indexing="ij")
     V64 = spec.trap * (X**2 + Y**2)
 
-    mu_grid, psi, lz_grid = rotating_imaginary_time(
-        V64, x1, spec.gamma, spec.omega, kinetic=spec.kinetic,
-        tau=oracle_tau, steps=oracle_steps)
+    if target is not None:
+        psi, mu_grid, lz_grid = target
+        assert psi.shape == (n_side, n_side), (psi.shape, n_side)
+    else:
+        mu_grid, psi, lz_grid = rotating_imaginary_time(
+            V64, x1, spec.gamma, spec.omega, kinetic=spec.kinetic,
+            tau=oracle_tau, steps=oracle_steps)
     nv = vortex_count(psi)
     if verbose:
         print(f"oracle: μ={mu_grid:.6f} Lz={lz_grid:.4f} vortices={nv}")
@@ -210,16 +222,20 @@ def train_rotating_vortex(spec: RotatingSpec, fit_epochs: int = 4000,
         h_im = -spec.kinetic * lap_b + Veff * b + omega * (X_ * a_y - Y_ * a_x)
         mu = jnp.sum(a * h_re + b * h_im) / (jnp.sum(rho) + 1e-12)
         pde = jnp.mean((h_re - mu * a) ** 2 + (h_im - mu * b) ** 2)
-        lz = jnp.sum((a * (X_ * b_y - Y_ * b_x) - b * (X_ * a_y - Y_ * a_x)) * w)
-        return float(mu), float(pde), float(lz)
+        lz_dens = a * (X_ * b_y - Y_ * b_x) - b * (X_ * a_y - Y_ * a_x)
+        lz = jnp.sum(lz_dens * w)
+        grad2 = (a_x * a_x + a_y * a_y + b_x * b_x + b_y * b_y)
+        e = jnp.sum(w * (spec.kinetic * grad2 + batch["V"] * rho
+                         + 0.5 * gamma * rho * rho - omega * lz_dens))
+        return float(mu), float(pde), float(lz), float(e)
 
-    mu, pde, lz = _report(params)
+    mu, pde, lz, energy = _report(params)
     if polish_steps > 0:
         # accept the polish only if it kept the vortex structure: LM pulls to
         # the NEAREST residual minimum, and from a loosely-fit multi-vortex
         # state that can be a lower-circulation branch
-        mu_p, pde_p, lz_p = _report(polished)
+        mu_p, pde_p, lz_p, e_p = _report(polished)
         if pde_p < pde and abs(lz_p - lz) < 0.2:
-            params, mu, pde, lz = polished, mu_p, pde_p, lz_p
+            params, mu, pde, lz, energy = polished, mu_p, pde_p, lz_p, e_p
     return RotatingResult(params, mu, float(mu_grid), lz, float(lz_grid),
-                          nv, pde, float(fit_mse))
+                          nv, pde, float(fit_mse), energy)

@@ -319,7 +319,9 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 1568,
                               relaxed: bool | None = None,
                               n_shards: int = 1,
                               refresh_every: int | None = None,
-                              extrapolate: bool | None = None):
+                              extrapolate: bool | None = None,
+                              exact_until: int | None = None,
+                              fresh_values: bool | None = None):
     # Tile caps are measured, not modeled: with the kernels' 64 MiB Mosaic
     # VMEM limit (fused_residual.kernel_vmem_limit_bytes) the width-128
     # flagship shape times 896/1568 ≈ +3% over the old 16 MiB-safe 784 on
@@ -343,7 +345,11 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 1568,
     extrapolate (GPE_TPU_RELAXED_EXTRAP=1) predicts the cotangent sums
     linearly — O(δ²) bias at zero cost; refresh_every=K
     (GPE_TPU_RELAXED_REFRESH=K) makes every K-th step the exact two-pass
-    step.
+    step; exact_until=E (GPE_TPU_RELAXED_EXACT_UNTIL=E) runs a contiguous
+    exact prefix of E steps per fit; fresh_values
+    (GPE_TPU_RELAXED_FRESH=1) computes the value-only sums S₂/S₃ exactly
+    every step via a cheap XLA forward, stabilizing the norm-penalty
+    feedback (the measured source of the γ≥10 bias — see fused_grad.py).
 
     n_shards > 1 sizes the row tiles for collocation-sharded execution under
     fit(mesh=): each device's kernel sees n/n_shards local points, so the
@@ -358,6 +364,10 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 1568,
         refresh_every = int(os.environ.get("GPE_TPU_RELAXED_REFRESH", "0"))
     if extrapolate is None:
         extrapolate = bool(os.environ.get("GPE_TPU_RELAXED_EXTRAP"))
+    if exact_until is None:
+        exact_until = int(os.environ.get("GPE_TPU_RELAXED_EXACT_UNTIL", "0"))
+    if fresh_values is None:
+        fresh_values = bool(os.environ.get("GPE_TPU_RELAXED_FRESH"))
 
     from gpe_tpu.ops.laplacian import ACTIVATION_QUADS
     from gpe_tpu.pallas import make_pallas_value_and_grad, pallas_supported
@@ -396,7 +406,8 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 1568,
         spec.layers, spec.activation, spec.p, spec.kinetic, spec.nonlinearity,
         bc_weight=spec.bc_weight, norm_weight=spec.norm_weight,
         tile=tile, sum_tile=sum_tile, delayed=relaxed,
-        refresh_every=refresh_every, extrapolate=extrapolate)
+        refresh_every=refresh_every, extrapolate=extrapolate,
+        exact_until=exact_until, fresh_values=fresh_values)
 
 
 def make_packed_value_and_grad(spec: GPESpec, n_runs: int,
@@ -422,6 +433,8 @@ def make_packed_value_and_grad(spec: GPESpec, n_runs: int,
         refresh_every = int(os.environ.get("GPE_TPU_RELAXED_REFRESH", "0"))
     if extrapolate is None:
         extrapolate = bool(os.environ.get("GPE_TPU_RELAXED_EXTRAP"))
+    exact_until = int(os.environ.get("GPE_TPU_RELAXED_EXACT_UNTIL", "0"))
+    fresh_values = bool(os.environ.get("GPE_TPU_RELAXED_FRESH"))
 
     from gpe_tpu.ops.laplacian import ACTIVATION_QUADS
     from gpe_tpu.pallas import make_pallas_value_and_grad, pallas_supported
@@ -452,4 +465,5 @@ def make_packed_value_and_grad(spec: GPESpec, n_runs: int,
         bc_weight=spec.bc_weight, norm_weight=spec.norm_weight,
         tile=tile, sum_tile=sum_tile, delayed=relaxed, n_runs=n_runs,
         interpret=interpret, refresh_every=refresh_every,
-        extrapolate=extrapolate)
+        extrapolate=extrapolate, exact_until=exact_until,
+        fresh_values=fresh_values)

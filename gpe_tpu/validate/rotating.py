@@ -141,3 +141,32 @@ def vortex_count(psi, threshold: float = 0.05, halo: int = 4) -> int:
             neigh = np.maximum(neigh, np.roll(dens, -s, axis=ax))
     mask = neigh[:-1, :-1] > threshold * dens.max()
     return int(np.sum((np.abs(circ) > np.pi) & mask))
+
+
+def rotating_energy(psi, V, x, gamma, omega, kinetic=0.5) -> float:
+    """Rotating-frame GP energy functional (∫|ψ|²=1):
+    E[ψ] = ∫ c|∇ψ|² + V|ψ|² + (γ/2)|ψ|⁴ − Ω·ψ*L_zψ.
+
+    Differs from μ (rotating_mu) by the ½ on the interaction term:
+    μ = E + (γ/2)∫|ψ|⁴. E is the quantity whose ordering decides which of
+    two near-degenerate vortex configurations is the true ground state."""
+    dx = x[1] - x[0]
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    gx, gy = _spectral_grads(psi, dx)
+    grad2 = np.abs(gx) ** 2 + np.abs(gy) ** 2
+    lz_dens = np.real(np.conj(psi) * (-1j) * (X * gy - Y * gx))
+    dens = (kinetic * grad2 + V * np.abs(psi) ** 2
+            + 0.5 * gamma * np.abs(psi) ** 4 - omega * lz_dens)
+    return float(np.sum(dens) * dx * dx)
+
+
+def regrid_psi(psi: np.ndarray, x_src: np.ndarray, x_dst: np.ndarray):
+    """Cubic-spline regrid of a complex field between uniform tensor grids
+    (re/im separately), renormalized to ∫|ψ|²=1 on the destination grid —
+    the configuration-preserving warm start for grid-refined imaginary time."""
+    from scipy.interpolate import RectBivariateSpline
+    re = RectBivariateSpline(x_src, x_src, np.real(psi))(x_dst, x_dst)
+    im = RectBivariateSpline(x_src, x_src, np.imag(psi))(x_dst, x_dst)
+    out = re + 1j * im
+    dx = x_dst[1] - x_dst[0]
+    return out / np.sqrt(np.sum(np.abs(out) ** 2) * dx * dx)

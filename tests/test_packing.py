@@ -100,15 +100,18 @@ def test_packed_relaxed_mode_m4():
     vagM = make_pallas_value_and_grad(layers, n_runs=4, **kw)
     p_u = jax.tree.map(lambda a: a[0], pack_params(pb, 4))
     stM = vagM.init_state(p_u, batch, gammas, scales)
-    assert stM.shape == (4, 4)
+    # state = (S_{t-1}, S_{t-2}, step); packed sums are (4 sums, M runs)
+    assert stM[0].shape == (4, 4) and stM[1].shape == (4, 4)
     (tM, _), _, stM2 = vagM(p_u, batch, gammas, scales, stM)
     for r in range(4):
         p_r = jax.tree.map(lambda a: a[r], pb)
         st = vag1.init_state(p_r, batch, gammas[r], scales[r])
         (t, _), _, st2 = vag1(p_r, batch, gammas[r], scales[r], st)
         np.testing.assert_allclose(float(tM[r]), float(t), rtol=1e-6)
-        np.testing.assert_allclose(np.asarray(stM2[:, r]), np.asarray(st2),
-                                   rtol=1e-6)
+        for sM, s1 in zip(stM2[:2], st2[:2]):
+            np.testing.assert_allclose(np.asarray(sM[:, r]), np.asarray(s1),
+                                       rtol=1e-6)
+        assert int(stM2[2]) == int(st2[2])
 
 
 def test_fit_ensemble_packed_matches_vmapped():

@@ -237,3 +237,44 @@ def test_relaxed_refresh_and_extrapolate_modes():
     assert err(g_f) < 1e-6 + 1e-5 * err(g_r), (err(g_f), err(g_r))
     # extrapolation kills the O(δ) bias: ≥5× closer than plain relaxed
     assert err(g_x) < 0.2 * err(g_r), (err(g_x), err(g_r))
+
+
+def test_relaxed_fresh_values_mode():
+    """fresh_values=True recomputes the value-only sums S₂/S₃ exactly every
+    step (cheap XLA forward), so the cotangents depend on the state's stale
+    sums ONLY through S₀/S₁ — corrupting the state's S₂/S₃ entries must not
+    change the gradient, while corrupting S₀/S₁ must."""
+    spec = GPESpec(dim=1, n_points=512, layers=(1, 32, 32, 1),
+                   potential="harmonic", lb=-8.0, ub=8.0,
+                   nonlinearity="power", use_perturbation=True,
+                   basis="hermite", activation="tanh")
+    batch = make_batch(spec, 0)
+    p0 = mlp.init_mlp(jax.random.PRNGKey(0), spec.layers)
+    g, s = jnp.float32(2.0), jnp.float32(0.05)
+    kw = dict(bc_weight=spec.bc_weight, norm_weight=spec.norm_weight,
+              tile=256, sum_tile=512, interpret=True, delayed=True)
+    vag_fresh = make_pallas_value_and_grad(
+        spec.layers, spec.activation, spec.p, spec.kinetic,
+        spec.nonlinearity, fresh_values=True, **kw)
+    vag_exact = make_pallas_value_and_grad(
+        spec.layers, spec.activation, spec.p, spec.kinetic,
+        spec.nonlinearity, **{**kw, "delayed": False})
+
+    st = vag_fresh.init_state(p0, batch, g, s)
+    # with state = exact sums of the SAME params, relaxed+fresh == exact
+    (_, _), g0, _ = vag_fresh(p0, batch, g, s, st)
+    _, ge = vag_exact(p0, batch, g, s)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(ge)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-8)
+
+    sums, sums2, step = st
+    corrupt23 = (sums.at[2].mul(7.0).at[3].add(3.0), sums2, step)
+    corrupt01 = (sums.at[0].mul(7.0).at[1].add(3.0), sums2, step)
+    (_, _), g23, _ = vag_fresh(p0, batch, g, s, corrupt23)
+    (_, _), g01, _ = vag_fresh(p0, batch, g, s, corrupt01)
+    for a, b in zip(jax.tree.leaves(g23), jax.tree.leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    deltas = [float(jnp.max(jnp.abs(a - b)))
+              for a, b in zip(jax.tree.leaves(g01), jax.tree.leaves(g0))]
+    assert max(deltas) > 1e-4, deltas
