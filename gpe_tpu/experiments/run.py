@@ -74,6 +74,11 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--plots", action="store_true", help="regenerate plots only")
+    ap.add_argument("--lbfgs-steps", type=int, default=None,
+                    help="helmholtz: L-BFGS polish steps (default 100)")
+    ap.add_argument("--lm-steps", type=int, default=None,
+                    help="helmholtz: LM polish steps (default 120; the LM/CG "
+                         "polish dominates wall time — smoke runs want ~5)")
     args = ap.parse_args(argv)
 
     # one function-scoped jax import: a branch-local `import jax` would make
@@ -225,8 +230,10 @@ def main(argv=None):
         # achievable MAE around 1e-3 on TPU (same rationale as paper_tables)
         jax.config.update("jax_default_matmul_precision", "highest")
         hspec = _helmholtz_specs()[cfg.name]
-        res = train_helmholtz(hspec, epochs=cfg.epochs, lr=cfg.lr,
-                              seed=cfg.seed, lbfgs_steps=100, lm_steps=120)
+        res = train_helmholtz(
+            hspec, epochs=cfg.epochs, lr=cfg.lr, seed=cfg.seed,
+            lbfgs_steps=(100 if args.lbfgs_steps is None else args.lbfgs_steps),
+            lm_steps=(120 if args.lm_steps is None else args.lm_steps))
         emit({"experiment": cfg.name, "k": res.k,
               "test_mae": res.test_mae,
               "interior_mse": res.interior_mse,

@@ -98,6 +98,7 @@ def test_helmholtz_residual_sum_of_squares_matches_loss():
                                    rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_lm_polish_improves_short_helmholtz():
     """A short Adam fit followed by the LM polish must reduce test MAE."""
     from gpe_tpu.helmholtz.problem import HelmholtzSpec, train_helmholtz

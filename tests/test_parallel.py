@@ -1,5 +1,6 @@
 """Sharded loss/step vs single-device reference on the 8-device CPU mesh."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,7 @@ def test_parallel_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(wp), np.asarray(wr), rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_parallel_2d():
     spec, batch, loss_fn, params = _setup(n_points=24, dim=2)  # 576 pts, 576%8==0
     mesh = make_mesh(8)

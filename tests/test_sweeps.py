@@ -3,6 +3,7 @@ import json
 from dataclasses import replace
 
 import numpy as np
+import pytest
 
 from gpe_tpu.train import GPESpec, train_beta_sweep, train_p_ramp
 
@@ -40,6 +41,7 @@ def test_p_ramp_warm_start():
     assert res.epochs_history[2.0] == 400
 
 
+@pytest.mark.slow
 def test_cli_beta_sweep_smoke(tmp_path, capsys):
     from gpe_tpu.experiments.run import main
     rc = main(["vary_beta_box_gaussian", "--epochs", "60",
@@ -77,7 +79,10 @@ def test_cli_helmholtz_smoke(tmp_path, capsys):
     # --out MUST be a tmp dir: the default writes runs/<name>/summary.json and
     # a 200-epoch smoke would clobber the committed full-run artifact
     from gpe_tpu.experiments.run import main
-    rc = main(["helmholtz_square", "--epochs", "200", "--out", str(tmp_path)])
+    # tiny polish budgets: the test exercises CLI wiring, and the full
+    # 100/120-step LBFGS+LM polish is ~35 min of CPU CG on its own
+    rc = main(["helmholtz_square", "--epochs", "200", "--out", str(tmp_path),
+               "--lbfgs-steps", "10", "--lm-steps", "5"])
     assert rc == 0
     out = json.loads([l for l in capsys.readouterr().out.splitlines()
                       if l.startswith("{")][-1])
