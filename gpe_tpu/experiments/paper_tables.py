@@ -472,10 +472,15 @@ def main(argv=None):
                     help="reuse PL/PL+LM/baseline columns and retrain only "
                          "the rebased ramp + per-checkpoint LM polish "
                          "(fresh PL-PINN-R and PL-PINN-R+LM columns)")
+    ap.add_argument("--seed", type=int, default=42,
+                    help="PL-method seed (A/B-chosen overrides, e.g. "
+                         "runs/ab_neg_mode0)")
+    ap.add_argument("--patience", type=int, default=2000)
     args = ap.parse_args(argv)
     out = args.out or f"runs/comparison_results_{args.family}"
     mf = ([int(m) for m in args.modes.split(",")] if args.modes else None)
     run_family(args.family, out, epochs=args.epochs, ramp_step=args.ramp_step,
+               seed=args.seed, patience=args.patience,
                lr_mode=args.lr_mode, packed=args.packed,
                baseline_lr=args.baseline_lr,
                baseline_lr_mode=args.baseline_lr_mode,
