@@ -156,6 +156,7 @@ def test_vanilla_checkpoints_matches_single_model():
     assert abs(batched[0.0] - 1.0) < 5e-2
 
 
+@pytest.mark.slow
 def test_checkpoint_polish_x64_endgame():
     """polish_x64 appends a float64 host LM endgame at each checkpoint γ and
     reports μ from a float64 evaluation — the f32 floor no longer caps the
