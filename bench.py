@@ -158,7 +158,10 @@ def bench_jax():
     dt_train_fused = float("nan")
     try:
         from gpe_tpu.train.problem import make_fused_value_and_grad
-        vag = make_fused_value_and_grad(spec)
+        # relaxed=False pins the exact two-pass gradient — since the round-4
+        # default flip, make_fused_value_and_grad(spec) returns the relaxed
+        # stateful vag (measured separately in 2c)
+        vag = make_fused_value_and_grad(spec, relaxed=False)
         if vag is not None:
             def fused_train_scan(K):
                 opt_state = opt.init(params)
@@ -178,22 +181,14 @@ def bench_jax():
     except Exception as e:
         print(f"fused train bench skipped: {e}", file=sys.stderr)
 
-    # 2c. one-step-relaxed fused step (delayed cotangents: ONE kernel/step,
-    #     exact loss, gradient weights one step stale — converges to the same
-    #     fixed points; tests/test_pallas_grad.py::test_delayed_mode_*)
+    # 2c. the SHIPPING relaxed fused step — the round-4 default:
+    #     relaxed + fresh_values + extrapolate (one grad kernel + a cheap
+    #     value-only forward per step; runs/ab_relaxed_fused/summary.json)
     dt_train_relaxed = float("nan")
     try:
-        from gpe_tpu.pallas.fused_grad import (grad_kernel_tile_cap,
-                                               make_pallas_value_and_grad)
-        from gpe_tpu.train.problem import _pick_tile
-        tile = _pick_tile(n_pts, min(1568, grad_kernel_tile_cap(spec.layers)))
-        sum_tile = _pick_tile(n_pts, 1792)
-        if tile and sum_tile:
-            vag_d = make_pallas_value_and_grad(
-                spec.layers, spec.activation, spec.p, spec.kinetic,
-                spec.nonlinearity, bc_weight=spec.bc_weight,
-                norm_weight=spec.norm_weight, tile=tile, sum_tile=sum_tile,
-                delayed=True)
+        from gpe_tpu.train.problem import make_fused_value_and_grad
+        vag_d = make_fused_value_and_grad(spec)
+        if vag_d is not None and getattr(vag_d, "stateful", False):
             vs0 = vag_d.init_state(params, batch, gamma, scale)
 
             def relaxed_train_scan(K):

@@ -129,7 +129,7 @@ def stage_net(n_colloc: int, width: int, fit_epochs: int, lbfgs_steps: int,
             polish_steps=polish_steps, polish_cg_iters=100,
             target=(target_psi, float(cache[f"{name}_mu"]),
                     float(cache[f"{name}_lz"])),
-            verbose=True)
+            sobolev=True, verbose=True)
         mu_star = table[name]["mu_star"]
         row = {
             "config": name, "mu_net": res.mu, "mu_star_oracle": mu_star,
@@ -173,10 +173,10 @@ def main(argv=None):
     ap.add_argument("--refine-steps", type=int, default=25000)
     ap.add_argument("--tau", type=float, default=2e-3)
     ap.add_argument("--n-colloc", type=int, default=160)
-    ap.add_argument("--width", type=int, default=160)
+    ap.add_argument("--width", type=int, default=192)
     ap.add_argument("--fit-epochs", type=int, default=15000)
-    ap.add_argument("--lbfgs-steps", type=int, default=1000)
-    ap.add_argument("--polish-steps", type=int, default=600)
+    ap.add_argument("--lbfgs-steps", type=int, default=1200)
+    ap.add_argument("--polish-steps", type=int, default=900)
     args = ap.parse_args(argv)
     if args.stage in ("oracle", "all"):
         stage_oracle(args.oracle_steps, args.refine_steps, args.tau)

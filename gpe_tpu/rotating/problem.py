@@ -135,7 +135,8 @@ def train_rotating_vortex(spec: RotatingSpec, fit_epochs: int = 4000,
                           lbfgs_steps: int = 300, polish_steps: int = 60,
                           polish_cg_iters: int = 60, oracle_tau: float = 2e-3,
                           oracle_steps: int = 40000, seed: int = 0,
-                          target=None,
+                          target=None, sobolev: bool = False,
+                          jac_weight: float = 0.1,
                           verbose: bool = False) -> RotatingResult:
     """Solve the rotating-frame GPE: f64 ADI oracle → distill (Re, Im) into
     the complex net → LM polish of the normalized complex residual → report
@@ -169,10 +170,30 @@ def train_rotating_vortex(spec: RotatingSpec, fit_epochs: int = 4000,
 
     target = np.stack([np.real(psi).ravel(), np.imag(psi).ravel()], axis=-1)
     params = mlp.init_mlp(jax.random.PRNGKey(seed), spec.layers)
-    params, fit_mse = pretrain_to_base(params, batch["x"],
-                                       target.astype(np.float32),
-                                       spec.activation, epochs=fit_epochs,
-                                       lbfgs_steps=lbfgs_steps)
+    if sobolev:
+        # H¹ distillation: supervise ∇ψ too (spectral gradients of the
+        # oracle field on the collocation grid) — value-only distill
+        # underconstrains the derivatives that μ is read from at vortex
+        # cores (see train/pretrain.py pretrain_sobolev)
+        from gpe_tpu.train.pretrain import pretrain_sobolev
+        from gpe_tpu.validate.rotating import _spectral_grads
+        dx = float(x1[1] - x1[0])
+        gx, gy = _spectral_grads(psi, dx)
+        tjac = np.empty((n_side * n_side, 2, 2), np.float32)
+        tjac[:, 0, 0] = np.real(gx).ravel()
+        tjac[:, 0, 1] = np.imag(gx).ravel()
+        tjac[:, 1, 0] = np.real(gy).ravel()
+        tjac[:, 1, 1] = np.imag(gy).ravel()
+        params, fit_mse = pretrain_sobolev(
+            params, batch["x"], target.astype(np.float32), tjac,
+            spec.activation, epochs=fit_epochs, lbfgs_steps=lbfgs_steps,
+            jac_weight=jac_weight)
+    else:
+        params, fit_mse = pretrain_to_base(params, batch["x"],
+                                           target.astype(np.float32),
+                                           spec.activation,
+                                           epochs=fit_epochs,
+                                           lbfgs_steps=lbfgs_steps)
     if verbose:
         print(f"distill fit MSE {fit_mse:.3e}")
 

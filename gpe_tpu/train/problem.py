@@ -314,6 +314,29 @@ def _pick_tile(n: int, cap: int) -> int | None:
     return None
 
 
+def _resolve_relaxed(relaxed, fresh_values, extrapolate):
+    """Resolve the relaxed-mode triple (round-4 default flip).
+
+    No explicit choice and no env → relaxed + fresh_values + extrapolate
+    (the A/B-winning combination, runs/ab_relaxed_fused/summary.json).
+    GPE_TPU_NO_RELAXED=1 → exact. GPE_TPU_RELAXED_FUSED=1 (the old opt-in)
+    → PLAIN relaxed: its correctors come only from their own env knobs, so
+    A/B arms keep their semantics. Explicit kwargs always win."""
+    import os
+
+    if relaxed is None:
+        forced_plain = bool(os.environ.get("GPE_TPU_RELAXED_FUSED"))
+        relaxed = forced_plain or not os.environ.get("GPE_TPU_NO_RELAXED")
+        if (relaxed and not forced_plain
+                and fresh_values is None and extrapolate is None):
+            fresh_values = extrapolate = True
+    if extrapolate is None:
+        extrapolate = bool(os.environ.get("GPE_TPU_RELAXED_EXTRAP"))
+    if fresh_values is None:
+        fresh_values = bool(os.environ.get("GPE_TPU_RELAXED_FRESH"))
+    return relaxed, fresh_values, extrapolate
+
+
 def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 1568,
                               sum_tile_cap: int = 1792,
                               relaxed: bool | None = None,
@@ -337,10 +360,18 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 1568,
     with a registered σ‴, a TPU backend, and a collocation count with tile
     divisors (picked automatically up to the caps).
 
-    relaxed=True (or GPE_TPU_RELAXED_FUSED=1) selects the one-step-relaxed
-    single-kernel mode: exact loss, gradient cotangent weights one step
-    stale, ~1.3× faster per step (pallas/fused_grad.py). fit() handles the
-    stateful contract transparently. Default: the exact two-pass gradient.
+    relaxed=True selects the one-step-relaxed single-kernel mode: exact
+    loss, gradient cotangent weights one step stale, ~1.3× faster per step
+    (pallas/fused_grad.py). fit() handles the stateful contract
+    transparently. DEFAULT-ON since round 4, as relaxed+fresh_values+
+    extrapolate: the 7-arm A/B (runs/ab_relaxed_fused/summary.json) shows
+    that combination tracks the exact arm within training noise at every
+    γ rung of the BASELINE#3 ramp (max Δμ 1.6e-2 vs the exact arm's own
+    1.4e-1 oracle error at equal budget) at 1.23×/step, 1.96× wall;
+    plain relaxed (no correctors) diverges to Δμ≈3 at γ=100 and is NOT
+    default. GPE_TPU_NO_RELAXED=1 (or relaxed=False) restores the exact
+    two-pass gradient — accuracy-table protocols that polish from exact
+    states should pin it.
     Bias correctors for the relaxed mode (see fused_grad.py, round-4 A/B):
     extrapolate (GPE_TPU_RELAXED_EXTRAP=1) predicts the cotangent sums
     linearly — O(δ²) bias at zero cost; refresh_every=K
@@ -358,16 +389,12 @@ def make_fused_value_and_grad(spec: GPESpec, tile_cap: int = 1568,
     """
     import os
 
-    if relaxed is None:
-        relaxed = bool(os.environ.get("GPE_TPU_RELAXED_FUSED"))
+    relaxed, fresh_values, extrapolate = _resolve_relaxed(
+        relaxed, fresh_values, extrapolate)
     if refresh_every is None:
         refresh_every = int(os.environ.get("GPE_TPU_RELAXED_REFRESH", "0"))
-    if extrapolate is None:
-        extrapolate = bool(os.environ.get("GPE_TPU_RELAXED_EXTRAP"))
     if exact_until is None:
         exact_until = int(os.environ.get("GPE_TPU_RELAXED_EXACT_UNTIL", "0"))
-    if fresh_values is None:
-        fresh_values = bool(os.environ.get("GPE_TPU_RELAXED_FRESH"))
 
     from gpe_tpu.ops.laplacian import ACTIVATION_QUADS
     from gpe_tpu.pallas import make_pallas_value_and_grad, pallas_supported

@@ -278,3 +278,27 @@ def test_relaxed_fresh_values_mode():
     deltas = [float(jnp.max(jnp.abs(a - b)))
               for a, b in zip(jax.tree.leaves(g01), jax.tree.leaves(g0))]
     assert max(deltas) > 1e-4, deltas
+
+
+def test_relaxed_default_resolution(monkeypatch):
+    """Round-4 default flip: no explicit choice and no env → relaxed +
+    fresh_values + extrapolate (the A/B-winning combination);
+    GPE_TPU_NO_RELAXED=1 → exact; GPE_TPU_RELAXED_FUSED=1 keeps its old
+    PLAIN-relaxed meaning; explicit kwargs always win."""
+    from gpe_tpu.train.problem import _resolve_relaxed
+
+    for var in ("GPE_TPU_RELAXED_FUSED", "GPE_TPU_NO_RELAXED",
+                "GPE_TPU_RELAXED_FRESH", "GPE_TPU_RELAXED_EXTRAP"):
+        monkeypatch.delenv(var, raising=False)
+
+    assert _resolve_relaxed(None, None, None) == (True, True, True)
+    assert _resolve_relaxed(False, None, None) == (False, False, False)
+    assert _resolve_relaxed(True, False, None) == (True, False, False)
+
+    monkeypatch.setenv("GPE_TPU_NO_RELAXED", "1")
+    assert _resolve_relaxed(None, None, None) == (False, False, False)
+
+    monkeypatch.setenv("GPE_TPU_RELAXED_FUSED", "1")  # forced plain wins
+    assert _resolve_relaxed(None, None, None) == (True, False, False)
+    monkeypatch.setenv("GPE_TPU_RELAXED_FRESH", "1")
+    assert _resolve_relaxed(None, None, None) == (True, True, False)

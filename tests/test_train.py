@@ -113,3 +113,36 @@ def test_scale_by_loss_as_step_matches_schedule_at_loss():
     # loss << T_0 -> effectively max LR
     u, _ = t.update(g, state, value=jnp.float32(1e-4))
     assert abs(float(-u["w"][0]) - 1e-3) < 1e-6
+
+
+def test_pretrain_sobolev_improves_derivative_fit():
+    """H1 distillation (value + analytic-jacobian supervision) must beat the
+    value-only distill on derivative accuracy at equal budget — the lever
+    behind the config-matched vortex rows (rotating/problem.py sobolev=)."""
+    from gpe_tpu.train.pretrain import pretrain_sobolev, pretrain_to_base
+
+    n = 32
+    x1 = np.linspace(-3, 3, n)
+    X, Y = np.meshgrid(x1, x1, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel()], -1).astype(np.float32)
+    e = np.exp(-(X**2 + Y**2) / 4)
+    tval = np.stack([(np.sin(X) * np.cos(Y)).ravel(),
+                     (X * Y * e).ravel()], -1).astype(np.float32)
+    tjac = np.empty((n * n, 2, 2), np.float32)
+    tjac[:, 0, 0] = (np.cos(X) * np.cos(Y)).ravel()
+    tjac[:, 1, 0] = (-np.sin(X) * np.sin(Y)).ravel()
+    tjac[:, 0, 1] = (Y * e * (1 - X**2 / 2)).ravel()
+    tjac[:, 1, 1] = (X * e * (1 - Y**2 / 2)).ravel()
+
+    p0 = mlp.init_mlp(jax.random.PRNGKey(0), (2, 32, 32, 2))
+    pS, lossS = pretrain_sobolev(p0, pts, tval, tjac, "tanh", epochs=800,
+                                 lbfgs_steps=60)
+    pV, _ = pretrain_to_base(p0, pts, tval, "tanh", epochs=800,
+                             lbfgs_steps=60)
+
+    def jac_mse(p):
+        nn = mlp.mlp_vgl(p, jnp.asarray(pts), "tanh")
+        return float(jnp.mean((nn.grad - tjac) ** 2))
+
+    assert np.isfinite(lossS)
+    assert jac_mse(pS) < 0.8 * jac_mse(pV), (jac_mse(pS), jac_mse(pV))
