@@ -136,12 +136,28 @@ def stage_net(n_colloc: int, width: int, pretrain_epochs: int,
 
     params = mlp.init_mlp(jax.random.PRNGKey(0), spec.layers)
     t0 = time.time()
-    params, pre_mse = pretrain_to_base(params, batch["x"],
-                                       phi0.astype(np.float32),
+    # H¹ (Sobolev) distill: the round-4a value-only attempt floored at
+    # distill MSE 4.1e-4 / μ err 5.2e-2 — the 9-well state is oscillatory
+    # and the value fit leaves the derivatives (where μ is read) loose.
+    # ∇φ₀ supervision comes from 2nd-order FD on the fine eigsh grid.
+    from gpe_tpu.train.pretrain import pretrain_sobolev
+    full0 = np.zeros((grid.size, grid.size))
+    full0[1:-1, 1:-1] = band[:, :, 0] / dx
+    gx, gy = np.gradient(full0, grid, grid, axis=(0, 1))
+    itp = dict(method="cubic")
+    gI = RegularGridInterpolator((grid, grid), full0, **itp)(xcol)
+    scale0 = float(np.sqrt(np.sum(gI * gI) * np.asarray(batch["w"])[0]))
+    sgn = np.sign(np.sum(gI)) or 1.0
+    tjac = np.stack([
+        RegularGridInterpolator((grid, grid), gx, **itp)(xcol),
+        RegularGridInterpolator((grid, grid), gy, **itp)(xcol)],
+        axis=1).astype(np.float32) / (scale0 * sgn)
+    params, pre_mse = pretrain_sobolev(params, batch["x"],
+                                       phi0.astype(np.float32), tjac,
                                        spec.activation,
                                        epochs=pretrain_epochs,
-                                       lbfgs_steps=400)
-    print(f"distill from exact phi0: mse {pre_mse:.2e} "
+                                       lbfgs_steps=800, jac_weight=0.2)
+    print(f"sobolev distill from exact phi0: mse {pre_mse:.2e} "
           f"({time.time() - t0:.0f}s)", flush=True)
 
     act = spec.activation
@@ -219,9 +235,9 @@ def main(argv=None):
     ap.add_argument("--stage", choices=("grid", "net", "all"), default="all")
     ap.add_argument("--k", type=int, default=9)
     ap.add_argument("--n-colloc", type=int, default=128)
-    ap.add_argument("--width", type=int, default=128)
-    ap.add_argument("--pretrain-epochs", type=int, default=6000)
-    ap.add_argument("--polish-steps", type=int, default=120)
+    ap.add_argument("--width", type=int, default=192)
+    ap.add_argument("--pretrain-epochs", type=int, default=20000)
+    ap.add_argument("--polish-steps", type=int, default=400)
     ap.add_argument("--orth-weight", type=float, default=1.0)
     args = ap.parse_args(argv)
     if args.stage in ("grid", "all"):
