@@ -140,6 +140,28 @@ def build_table(runs_root: str = "runs") -> str:
             "script for both the pickles and the published CSVs is absent "
             "from the reference repository.",
         ]
+    ramp025 = os.path.join("runs", "comparison_results_p3_gravity_well",
+                           "ramp025", "summary.json")
+    if os.path.exists(ramp025):
+        with open(ramp025) as f:
+            v = next((r["abs_err"] for r in json.load(f)["rows"]
+                      if r["Method"] == "PL-PINN" and r["Mode"] == "Mode 0"),
+                     None)
+        if v is not None:
+            lines += [
+                "",
+                "Gravity-well faithful-protocol footnote: at the "
+                "reference's OWN Δγ=0.25/401-step ramp "
+                "(gravity_well_pinn_simulation.py main block) our plain "
+                f"PL mode-0 row is {v:.2e} — vs {9.86e-06:.2e} on the "
+                "harder Δγ=0.5 ramp the main table uses, and the published "
+                "2.50e-3 (runs/comparison_results_p3_gravity_well/ramp025/).",
+            ]
+    lines += [
+        "",
+        "γ=0 analytic anchor (both sides vs the closed-form linear "
+        "eigenvalue): runs/reference_parity/gamma0_anchor.md.",
+    ]
     return "\n".join(lines) + "\n"
 
 
