@@ -129,7 +129,7 @@ def stage_net(n_colloc: int, width: int, fit_epochs: int, lbfgs_steps: int,
             polish_steps=polish_steps, polish_cg_iters=100,
             target=(target_psi, float(cache[f"{name}_mu"]),
                     float(cache[f"{name}_lz"])),
-            sobolev=True, verbose=True)
+            sobolev=True, sobolev_n=128, verbose=True)
         mu_star = table[name]["mu_star"]
         row = {
             "config": name, "mu_net": res.mu, "mu_star_oracle": mu_star,
@@ -173,7 +173,7 @@ def main(argv=None):
     ap.add_argument("--refine-steps", type=int, default=25000)
     ap.add_argument("--tau", type=float, default=2e-3)
     ap.add_argument("--n-colloc", type=int, default=160)
-    ap.add_argument("--width", type=int, default=192)
+    ap.add_argument("--width", type=int, default=176)
     ap.add_argument("--fit-epochs", type=int, default=15000)
     ap.add_argument("--lbfgs-steps", type=int, default=1200)
     ap.add_argument("--polish-steps", type=int, default=900)

@@ -136,7 +136,7 @@ def train_rotating_vortex(spec: RotatingSpec, fit_epochs: int = 4000,
                           polish_cg_iters: int = 60, oracle_tau: float = 2e-3,
                           oracle_steps: int = 40000, seed: int = 0,
                           target=None, sobolev: bool = False,
-                          jac_weight: float = 0.1,
+                          jac_weight: float = 0.1, sobolev_n: int = 0,
                           verbose: bool = False) -> RotatingResult:
     """Solve the rotating-frame GPE: f64 ADI oracle → distill (Re, Im) into
     the complex net → LM polish of the normalized complex residual → report
@@ -172,20 +172,34 @@ def train_rotating_vortex(spec: RotatingSpec, fit_epochs: int = 4000,
     params = mlp.init_mlp(jax.random.PRNGKey(seed), spec.layers)
     if sobolev:
         # H¹ distillation: supervise ∇ψ too (spectral gradients of the
-        # oracle field on the collocation grid) — value-only distill
-        # underconstrains the derivatives that μ is read from at vortex
-        # cores (see train/pretrain.py pretrain_sobolev)
+        # oracle field) — value-only distill underconstrains the
+        # derivatives that μ is read from at vortex cores (see
+        # train/pretrain.py pretrain_sobolev). sobolev_n runs the distill
+        # on its own (coarser) grid: the reverse-over-forward-Laplacian
+        # scan crashes the tunnel TPU worker above ~16k points × width
+        # ≥176 (reproduced twice, runs/gpe2d_vortex logs), while the LM
+        # polish and the mesh-free report keep the full spec grid.
         from gpe_tpu.train.pretrain import pretrain_sobolev
-        from gpe_tpu.validate.rotating import _spectral_grads
-        dx = float(x1[1] - x1[0])
-        gx, gy = _spectral_grads(psi, dx)
-        tjac = np.empty((n_side * n_side, 2, 2), np.float32)
+        from gpe_tpu.validate.rotating import _spectral_grads, regrid_psi
+        if sobolev_n and sobolev_n != n_side:
+            xs = np.linspace(spec.lb, spec.ub, sobolev_n)
+            psi_s = regrid_psi(psi, x1, xs)
+            ns = sobolev_n
+        else:
+            xs, psi_s, ns = x1, psi, n_side
+        Xs, Ys = np.meshgrid(xs, xs, indexing="ij")
+        x_s = np.stack([Xs.ravel(), Ys.ravel()], -1).astype(np.float32)
+        tval = np.stack([np.real(psi_s).ravel(),
+                         np.imag(psi_s).ravel()], -1).astype(np.float32)
+        dxs = float(xs[1] - xs[0])
+        gx, gy = _spectral_grads(psi_s, dxs)
+        tjac = np.empty((ns * ns, 2, 2), np.float32)
         tjac[:, 0, 0] = np.real(gx).ravel()
         tjac[:, 0, 1] = np.imag(gx).ravel()
         tjac[:, 1, 0] = np.real(gy).ravel()
         tjac[:, 1, 1] = np.imag(gy).ravel()
         params, fit_mse = pretrain_sobolev(
-            params, batch["x"], target.astype(np.float32), tjac,
+            params, x_s, tval, tjac,
             spec.activation, epochs=fit_epochs, lbfgs_steps=lbfgs_steps,
             jac_weight=jac_weight)
     else:
