@@ -104,7 +104,8 @@ def stage_oracle(steps: int, refine_steps: int, tau: float):
 
 
 def stage_net(n_colloc: int, width: int, fit_epochs: int, lbfgs_steps: int,
-              polish_steps: int):
+              polish_steps: int, activation: str = "sin",
+              init_scheme: str = "siren", w0: float = 3.0):
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")
     import numpy as np
@@ -118,8 +119,14 @@ def stage_net(n_colloc: int, width: int, fit_epochs: int, lbfgs_steps: int,
     for name in CONFIGS:
         psi = cache[f"{name}_psi_re"] + 1j * cache[f"{name}_psi_im"]
         x_src = cache[f"{name}_x"]
+        # sin/siren default: the distill floor is the row's limiter, and the
+        # SIREN A/B (runs/gpe2d_vortex/ab_siren.json) shows value MSE
+        # 9.9e-8 vs tanh's 5.5e-5 at equal budget — unpolished μ err
+        # 2.7e-3 vs the tanh path's polished 8.4e-3.
         spec = RotatingSpec(n_points=n_colloc, lb=LB, ub=UB,
                             layers=(2, width, width, width, 2),
+                            activation=activation, init_scheme=init_scheme,
+                            w0=w0,
                             gamma=GAMMA, omega=OMEGA, trap=TRAP, kinetic=KIN)
         x_dst = np.linspace(LB, UB, n_colloc)
         target_psi = regrid_psi(psi, x_src, x_dst)
@@ -177,12 +184,17 @@ def main(argv=None):
     ap.add_argument("--fit-epochs", type=int, default=15000)
     ap.add_argument("--lbfgs-steps", type=int, default=1200)
     ap.add_argument("--polish-steps", type=int, default=900)
+    ap.add_argument("--activation", default="sin")
+    ap.add_argument("--init-scheme", default="siren")
+    ap.add_argument("--w0", type=float, default=3.0)
     args = ap.parse_args(argv)
     if args.stage in ("oracle", "all"):
         stage_oracle(args.oracle_steps, args.refine_steps, args.tau)
     if args.stage in ("net", "all"):
         stage_net(args.n_colloc, args.width, args.fit_epochs,
-                  args.lbfgs_steps, args.polish_steps)
+                  args.lbfgs_steps, args.polish_steps,
+                  activation=args.activation, init_scheme=args.init_scheme,
+                  w0=args.w0)
     return 0
 
 

@@ -24,17 +24,25 @@ from gpe_tpu.physics.bases import ValGradLap
 
 
 def init_mlp(key, layers: Sequence[int], scheme: str = "xavier_uniform",
-             mode: int = 0, dtype=jnp.float32):
+             mode: int = 0, dtype=jnp.float32, w0: float = 4.0):
     """Initialize MLP params.
 
     schemes:
       - "xavier_uniform": Xavier-uniform W, bias 0.01 (reference default).
       - "mode_scaled": Xavier-normal with gain 1/(1+0.2·mode), bias 0.001 —
         the reference's `advanced_initialization` for high modes.
+      - "siren": for activation="sin" (Sitzmann et al. 2020, folded form —
+        sin(Wx+b) with W pre-scaled by ω₀ instead of sin(ω₀·)): first layer
+        W ~ U(−w0/fan_in, w0/fan_in), hidden W ~ U(−√(6/fan_in), √(6/fan_in)),
+        bias 0. w0 sets the first layer's frequency reach in PHYSICAL input
+        units (the paper's ω₀=30 assumes inputs in [−1,1]; our domains are
+        ~[−8,8], so w0≈4 spans comparable wavenumbers). Oscillatory targets
+        (vortex lattices) distill orders better than with tanh.
     """
     params = []
     keys = jax.random.split(key, len(layers) - 1)
-    for k, fan_in, fan_out in zip(keys, layers[:-1], layers[1:]):
+    for li, (k, fan_in, fan_out) in enumerate(
+            zip(keys, layers[:-1], layers[1:])):
         if scheme == "xavier_uniform":
             lim = math.sqrt(6.0 / (fan_in + fan_out))
             w = jax.random.uniform(k, (fan_in, fan_out), dtype, -lim, lim)
@@ -44,6 +52,10 @@ def init_mlp(key, layers: Sequence[int], scheme: str = "xavier_uniform",
             std = gain * math.sqrt(2.0 / (fan_in + fan_out))
             w = std * jax.random.normal(k, (fan_in, fan_out), dtype)
             b = jnp.full((fan_out,), 0.001, dtype)
+        elif scheme == "siren":
+            lim = (w0 / fan_in) if li == 0 else math.sqrt(6.0 / fan_in)
+            w = jax.random.uniform(k, (fan_in, fan_out), dtype, -lim, lim)
+            b = jnp.zeros((fan_out,), dtype)
         else:
             raise ValueError(f"unknown init scheme {scheme!r}")
         params.append((w, b))

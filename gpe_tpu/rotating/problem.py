@@ -41,6 +41,8 @@ class RotatingSpec:
     n_points: int = 96                      # grid side (n² collocation points)
     layers: tuple = (2, 100, 100, 100, 2)   # 2 outputs: (Re ψ, Im ψ)
     activation: str = "tanh"
+    init_scheme: str = "xavier_uniform"     # "siren" pairs with activation="sin"
+    w0: float = 4.0                         # siren first-layer frequency reach
     trap: float = 0.5                       # V = trap·r²  (ω_trap² / 2)
     kinetic: float = 0.5
     gamma: float = 50.0
@@ -169,7 +171,8 @@ def train_rotating_vortex(spec: RotatingSpec, fit_epochs: int = 4000,
         print(f"oracle: μ={mu_grid:.6f} Lz={lz_grid:.4f} vortices={nv}")
 
     target = np.stack([np.real(psi).ravel(), np.imag(psi).ravel()], axis=-1)
-    params = mlp.init_mlp(jax.random.PRNGKey(seed), spec.layers)
+    params = mlp.init_mlp(jax.random.PRNGKey(seed), spec.layers,
+                          scheme=spec.init_scheme, w0=spec.w0)
     if sobolev:
         # H¹ distillation: supervise ∇ψ too (spectral gradients of the
         # oracle field) — value-only distill underconstrains the

@@ -67,3 +67,18 @@ def test_init_schemes():
     p2 = mlp.init_mlp(jax.random.PRNGKey(0), [1, 64, 64, 1], "mode_scaled", mode=4)
     assert np.allclose(p2[0][1], 0.001)
     assert np.std(np.asarray(p2[0][0])) < np.std(np.asarray(p1[0][0]))
+
+
+def test_siren_init_scheme():
+    w0 = 5.0
+    p = mlp.init_mlp(jax.random.PRNGKey(0), [2, 64, 64, 2], "siren", w0=w0)
+    # first layer bounded by w0/fan_in, hidden by sqrt(6/fan_in), biases zero
+    assert float(np.abs(p[0][0]).max()) <= w0 / 2 + 1e-6
+    assert float(np.abs(p[1][0]).max()) <= np.sqrt(6.0 / 64) + 1e-6
+    for w, b in p:
+        assert np.allclose(b, 0.0)
+    # pairs with the sin activation through the full vgl path
+    x = jnp.linspace(-8, 8, 32).reshape(-1, 2)
+    n = mlp.mlp_vgl(p, x, "sin")
+    assert n.value.shape == (16, 2) and n.lap.shape == (16, 2)
+    assert np.all(np.isfinite(np.asarray(n.lap)))
