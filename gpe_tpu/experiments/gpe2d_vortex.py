@@ -23,6 +23,13 @@ def main(argv=None):
     # (round-2 committed run) — the complex residual converges slower than
     # the real lattice one (5e-6 at the same step count)
     ap.add_argument("--polish-steps", type=int, default=240)
+    # sin/siren + Sobolev (H¹) distill is the round-4 default: the tanh
+    # value-only distill floors at fit MSE ~2e-6 on phase-winding fields
+    # (runs/gpe2d_vortex/ab_siren.json — SIREN reaches 1e-7 at equal budget)
+    ap.add_argument("--activation", default="sin")
+    ap.add_argument("--init-scheme", default="siren")
+    ap.add_argument("--w0", type=float, default=3.0)
+    ap.add_argument("--no-sobolev", action="store_true")
     ap.add_argument("--out", default="runs/gpe2d_vortex")
     args = ap.parse_args(argv)
 
@@ -39,12 +46,16 @@ def main(argv=None):
     for omega in args.omegas:
         spec = RotatingSpec(n_points=args.n,
                             layers=(2, args.width, args.width, args.width, 2),
+                            activation=args.activation,
+                            init_scheme=args.init_scheme, w0=args.w0,
                             gamma=args.gamma, omega=omega)
         t1 = time.time()
         res = train_rotating_vortex(spec, fit_epochs=args.fit_epochs,
                                     lbfgs_steps=args.lbfgs_steps,
                                     polish_steps=args.polish_steps,
-                                    polish_cg_iters=100, verbose=True)
+                                    polish_cg_iters=100,
+                                    sobolev=not args.no_sobolev,
+                                    sobolev_n=128, verbose=True)
         row = {"omega": omega, "mu_net": res.mu, "mu_grid": res.mu_grid,
                "abs_err": abs(res.mu - res.mu_grid), "lz_net": res.lz,
                "lz_grid": res.lz_grid, "n_vortices": res.n_vortices,

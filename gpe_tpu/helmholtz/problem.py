@@ -44,6 +44,8 @@ class HelmholtzSpec:
     data_weight: float = 1.0
     layers: tuple = (2, 64, 64, 64, 1)
     activation: str = "tanh"
+    init_scheme: str = "xavier_uniform"  # "siren" pairs with activation="sin"
+    w0: float = 6.0                      # siren first-layer frequency reach
     n_interior: int = 4096
     n_boundary: int = 256
     mode_n: int = 0                   # circle: angular order of the Bessel mode
@@ -112,7 +114,8 @@ def make_helmholtz_batch(spec: HelmholtzSpec, seed: int = 0) -> dict:
 
 
 def init_helmholtz_params(spec: HelmholtzSpec, seed: int = 0):
-    net = mlp.init_mlp(jax.random.PRNGKey(seed), spec.layers)
+    net = mlp.init_mlp(jax.random.PRNGKey(seed), spec.layers,
+                       scheme=spec.init_scheme, w0=spec.w0)
     params = {"net": net}
     if spec.learnable_k:
         params["k_raw"] = jnp.asarray(spec.k, jnp.float32)
