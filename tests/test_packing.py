@@ -114,6 +114,69 @@ def test_packed_relaxed_mode_m4():
         assert int(stM2[2]) == int(st2[2])
 
 
+@pytest.mark.slow
+def test_packed_relaxed_fresh_extrap_per_run():
+    """The round-4 default relaxed combination (delayed + fresh_values +
+    extrapolate) on the PACKED path must be exactly M independent runs of the
+    single-run combination — including per-run (N, M) bases, which exercise
+    the 2-D branch of _value_sums (the fresh S₂/S₃ XLA forward). Verified
+    per run after two steps of genuine state evolution (stale S₀/S₁ +
+    extrapolation + fresh S₂/S₃ all active)."""
+    layers = (1, 32, 32, 1)
+    M, n = 4, 256
+    pb, batch = _mk(M, layers=layers, n=n, seed=3)
+    x = np.asarray(batch["x"])[:, 0]
+    bx = np.asarray(batch["bx"])[:, 0]
+    base_val = np.stack([np.sin((r + 1) * 0.5 * x) for r in range(M)], axis=1)
+    base_lap = np.stack([-((r + 1) * 0.5) ** 2 * np.sin((r + 1) * 0.5 * x)
+                         for r in range(M)], axis=1)
+    base_bval = np.stack([np.sin((r + 1) * 0.5 * bx) for r in range(M)],
+                         axis=1)
+    batchM = dict(batch, base_val=jnp.asarray(base_val, jnp.float32),
+                  base_lap=jnp.asarray(base_lap, jnp.float32),
+                  base_bval=jnp.asarray(base_bval, jnp.float32))
+    gammas = jnp.array([0.5, 1.0, 1.5, 2.0])
+    scales = jnp.array([0.01, 0.02, 0.03, 0.04])
+    kw = dict(activation="tanh", p=3.0, nonlinearity="abs_power",
+              tile=128, sum_tile=128, interpret=True, delayed=True,
+              fresh_values=True, extrapolate=True)
+    vag1 = make_pallas_value_and_grad(layers, **kw)
+    vagM = make_pallas_value_and_grad(layers, n_runs=M, **kw)
+    p_u = jax.tree.map(lambda a: a[0], pack_params(pb, M))
+
+    def advance(vag, p, batch_r, g, s):
+        st = vag.init_state(p, batch_r, g, s)
+        out = None
+        for _ in range(3):      # 3 steps: S_{t-1} ≠ S_{t-2}, params moving
+            out = vag(p, batch_r, g, s, st)
+            (_, _), grads, st = out
+            p = jax.tree.map(lambda a, d: a - 1e-3 * d, p, grads)
+        return out
+
+    (tM, auxM), gM, _ = advance(vagM, p_u, batchM, gammas, scales)
+    g_runs = unpack_params(jax.tree.map(lambda a: a[None], gM), layers, M)
+    for r in range(M):
+        p_r = jax.tree.map(lambda a: a[r], pb)
+        batch_r = dict(batch,
+                       base_val=jnp.asarray(base_val[:, r], jnp.float32),
+                       base_lap=jnp.asarray(base_lap[:, r], jnp.float32),
+                       base_bval=jnp.asarray(base_bval[:, r], jnp.float32))
+        (t, aux), g, _ = advance(vag1, p_r, batch_r, gammas[r], scales[r])
+        np.testing.assert_allclose(float(tM[r]), float(t), rtol=1e-5)
+        np.testing.assert_allclose(float(auxM["mu"][r]), float(aux["mu"]),
+                                   rtol=1e-5)
+        # rtol 1e-3: the packed kernel's 128-lane GEMMs accumulate in a
+        # different order than the single-run ones, and 3 steps of trajectory
+        # compound the f32 rounding (2/32 elements at ~2e-4 rel without it)
+        for li in range(len(layers) - 1):
+            np.testing.assert_allclose(np.asarray(g_runs[li][0][r]),
+                                       np.asarray(g[li][0]),
+                                       rtol=1e-3, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(g_runs[li][1][r]),
+                                       np.asarray(g[li][1]),
+                                       rtol=1e-3, atol=1e-6)
+
+
 def test_fit_ensemble_packed_matches_vmapped():
     """Trajectory parity: the packed trainer must reproduce fit_ensemble +
     vmapped fused vag (per-run clip → adam → cosine-WR LR) run for run."""
