@@ -1,0 +1,217 @@
+"""3D GPE ground state — beyond the reference's 2D ceiling.
+
+The reference solves 1D and 2D GPE problems only (SURVEY.md §0); every layer
+of this framework (forward-Laplacian state tensor, fused Pallas kernels,
+Riemann quadrature, PL-PINN continuation, LM polish, split-step oracle) is
+dimension-generic, so 3D costs one experiment module:
+
+  −½Δψ + ½|x|²ψ + γ|ψ|²ψ = μψ  on [−6,6]³,  ∫|ψ|² = 1,  γ ramp 0 → 100.
+
+Pipeline (same recipe as the committed 2D `gpe2d_ground_state`):
+  1. float64 split-step imaginary-time oracle on a 64³ grid, γ-ladder
+     warm-started, Richardson-extrapolated in τ; one 80³ confirmation at the
+     final γ bounds the grid error. Cached to oracle_cache.npz.
+  2. PL-PINN continuation with the rebased ansatz (PL-PINN-R) at ~47k
+     collocation points — the fused Pallas training gradient adopts
+     automatically (the kernels are generic over layers[0] = d).
+  3. 120-step Levenberg–Marquardt residual polish at the final γ.
+Reports μ errors per rung, ψ L2/max error on the oracle grid at γ=100, the
+TF-μ anchor (physics/thomas_fermi.thomas_fermi_mu_3d_harmonic), and wall.
+
+Run (TPU): python -m gpe_tpu.experiments.gpe3d_ground_state
+CPU smoke: ... --n 12 --width 32 --epochs 300 --gammas 0 2 --oracle-n 32
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+OUT = "runs/gpe3d_ground_state"
+
+
+def _oracle(gammas, n: int, lb: float, ub: float, cache_path: str,
+            confirm_n: int = 80, verbose: bool = True):
+    """γ-laddered f64 split-step oracle: {γ: μ*} + final-γ ψ on the n³ grid.
+
+    Each rung warm-starts from the previous converged state; each checkpoint
+    μ is Richardson-extrapolated (order 1 — the τ² remainder at τ=2e-3 is
+    below the 64³ grid error). The confirm_n run at the final γ bounds the
+    spatial discretization error."""
+    import numpy as np
+    from gpe_tpu.validate.imaginary_time import imaginary_time_gpe
+
+    if os.path.exists(cache_path):
+        d = np.load(cache_path, allow_pickle=True)
+        if (list(d["gammas"]) == [float(g) for g in gammas]
+                and int(d["n"]) == n):
+            return ({float(g): float(m) for g, m in
+                     zip(d["gammas"], d["mus"])},
+                    d["psi_final"], float(d["grid_err_bound"]))
+
+    def grid(m):
+        x1 = np.linspace(lb, ub, m)
+        X, Y, Z = np.meshgrid(x1, x1, x1, indexing="ij")
+        return x1, 0.5 * (X * X + Y * Y + Z * Z)
+
+    x1, V = grid(n)
+    dx = x1[1] - x1[0]
+    mus, psi = {}, None
+    for g in gammas:
+        t0 = time.time()
+        mu, psi = imaginary_time_gpe(V, dx, float(g), kinetic=0.5,
+                                     tau=2e-3, steps=20000, psi0=psi,
+                                     richardson=1)
+        mus[float(g)] = float(mu)
+        if verbose:
+            print(f"oracle γ={g:g}: μ*={mu:.7f} ({time.time()-t0:.0f}s)",
+                  flush=True)
+    # grid-convergence bound: re-solve the final γ on the confirm grid
+    grid_err = float("nan")
+    if confirm_n and confirm_n != n:
+        xc, Vc = grid(confirm_n)
+        mu_c, _ = imaginary_time_gpe(Vc, xc[1] - xc[0], float(gammas[-1]),
+                                     kinetic=0.5, tau=2e-3, steps=20000,
+                                     richardson=1)
+        grid_err = abs(mu_c - mus[float(gammas[-1])])
+        if verbose:
+            print(f"oracle grid check: n={n} vs {confirm_n} at "
+                  f"γ={gammas[-1]:g}: |Δμ*| = {grid_err:.2e}", flush=True)
+    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+    np.savez(cache_path, gammas=np.asarray([float(g) for g in gammas]),
+             mus=np.asarray([mus[float(g)] for g in gammas]),
+             psi_final=psi, n=n, grid_err_bound=grid_err)
+    return mus, psi, grid_err
+
+
+def complete_psi(pol, spec, x):
+    """ψ = base + scale·net on the training grid, from the polished entry's
+    exported (rebase-folded) base (train/plpinn.py keep_params export)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gpe_tpu.models import mlp
+
+    u = np.asarray(mlp.mlp_apply(pol["params"], jnp.asarray(x),
+                                 spec.activation), np.float64)
+    return pol["base_val"].astype(np.float64) + pol["scale"] * u
+
+
+def psi_errors_3d(psi_net_flat, x1, psi_ref):
+    """‖ψ_net − ψ_ref‖_L2 and max|Δψ|, both states L2-normalized on the
+    shared n³ grid and sign-aligned (the 3D twin of
+    gpe2d_flagship.psi_errors)."""
+    import numpy as np
+
+    n = x1.size
+    dx = float(x1[1] - x1[0])
+    u = np.asarray(psi_net_flat, np.float64).reshape(n, n, n)
+    u = u / np.sqrt(np.sum(u * u) * dx ** 3)
+    ref = np.asarray(psi_ref, np.float64)
+    ref = ref / np.sqrt(np.sum(ref * ref) * dx ** 3)
+    if np.sum(u * ref) < 0:
+        u = -u
+    diff = u - ref
+    return (float(np.sqrt(np.sum(diff * diff) * dx ** 3)),
+            float(np.max(np.abs(diff))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=36, help="grid side (n³ points)")
+    ap.add_argument("--width", type=int, default=128)
+    ap.add_argument("--gammas", type=float, nargs="*",
+                    default=[0.0, 5.0, 10.0, 20.0, 35.0, 50.0, 70.0, 100.0])
+    ap.add_argument("--epochs", type=int, default=8000)
+    ap.add_argument("--oracle-n", type=int, default=64)
+    ap.add_argument("--oracle-confirm-n", type=int, default=80)
+    ap.add_argument("--lm-steps", type=int, default=120)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=OUT)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import jax
+
+    # accuracy-critical fit (same rationale as gpe2d_flagship)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from gpe_tpu.physics.thomas_fermi import thomas_fermi_mu_3d_harmonic
+    from gpe_tpu.train import GPESpec
+    from gpe_tpu.train.plpinn import train_plpinn
+
+    spec = GPESpec(dim=3, lb=-6.0, ub=6.0, n_points=args.n,
+                   layers=(3, args.width, args.width, args.width, 1),
+                   activation="shifted_tanh", potential="harmonic",
+                   potential_kwargs=(("a", 0.5),), basis="hermite",
+                   kinetic=0.5, nonlinearity="abs_power",
+                   bc_weight=10.0, norm_weight=20.0)
+
+    os.makedirs(args.out, exist_ok=True)
+    mus_ref, psi_ref, grid_err = _oracle(
+        args.gammas, args.oracle_n, spec.lb, spec.ub,
+        os.path.join(args.out, "oracle_cache.npz"),
+        confirm_n=args.oracle_confirm_n)
+
+    t0 = time.time()
+    res = train_plpinn(spec, args.gammas, modes=(0,), epochs=args.epochs,
+                       tol=0.0, patience=10 ** 9, seed=args.seed,
+                       rebase=True, lm_polish=True, lm_steps=args.lm_steps,
+                       verbose=True)
+    wall = time.time() - t0
+
+    rows = []
+    for g, mu in res.mu_table[0]:
+        rows.append({"gamma": g, "mu": mu, "mu_ref": mus_ref[float(g)],
+                     "abs_err": abs(mu - mus_ref[float(g)])})
+    gmax = float(args.gammas[-1])
+    pol = res.polished.get(0, {})
+    mu_final = float(pol.get("mu", rows[-1]["mu"]))
+
+    # ψ comparison on the TRAINING grid (complete solution = folded base +
+    # scale·net): a second small oracle solve on exactly that grid — the
+    # n=36 grid is already spectrally converged (the 64-vs-80 μ check above
+    # bounds the finer grid; the smoke's 24-vs-32 check was 3e-8)
+    from gpe_tpu.train import make_batch
+    batch = make_batch(spec, 0)
+    _, psi_ref_train, _ = _oracle(
+        args.gammas, args.n, spec.lb, spec.ub,
+        os.path.join(args.out, "oracle_cache_traingrid.npz"),
+        confirm_n=None)
+    x1 = np.linspace(spec.lb, spec.ub, args.n)
+    psi_net = complete_psi(pol, spec, np.asarray(batch["x"]))
+    psi_l2, psi_max = psi_errors_3d(psi_net, x1, psi_ref_train)
+
+    summary = {
+        "config": "3D GPE ground state (beyond-reference): harmonic trap, "
+                  f"{args.n ** 3} collocation pts, γ→{gmax:g}",
+        "ramp": rows,
+        "mu_final": mu_final,
+        "mu_ref_final": mus_ref[gmax],
+        "abs_err_final": abs(mu_final - mus_ref[gmax]),
+        "oracle_grid_err_bound": grid_err,
+        "mu_tf_final": float(thomas_fermi_mu_3d_harmonic(gmax)),
+        "psi_l2_err": psi_l2,
+        "psi_max_err": psi_max,
+        "wall_s": round(wall, 1),
+    }
+    print(json.dumps(summary), flush=True)
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+    # midplane slice plot (z ≈ 0): complete-solution ψ(x, y, z_mid) contour
+    try:
+        from gpe_tpu import viz
+        n = args.n
+        u3 = np.asarray(psi_net, np.float64).reshape(n, n, n)
+        X, Y = np.meshgrid(x1, x1, indexing="ij")
+        pts = np.stack([X.ravel(), Y.ravel()], -1)
+        viz.plot_solution_2d(pts, u3[:, :, n // 2].ravel(), args.out,
+                             "midplane_z0.png")
+    except Exception as e:                     # plots must never fail a run
+        print(f"plot skipped: {e}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -159,7 +159,8 @@ def main(argv=None):
             extra["mesh_devices"] = len(mesh.devices.flat)
         if polished:
             extra["lm_polished"] = {
-                m: {k: v for k, v in pol.items() if k != "params"}
+                m: {k: v for k, v in pol.items()
+                    if k not in ("params", "base_val")}
                 for m, pol in polished.items()}
             polished = extra["lm_polished"]
             # opportunistic oracle error for the 2D harmonic flagship family

@@ -89,6 +89,36 @@ def hermite_product_2d(nx: int, ny: int, xy) -> ValGradLap:
     return ValGradLap(val, grad, lap)
 
 
+def hermite_product_nd(modes, x) -> ValGradLap:
+    """d-D harmonic-trap eigenfunction Π_i φ_{n_i}(x_i) with gradient and
+    Laplacian assembled from the 1D triples by the product rule — the d≥3
+    generalization of :func:`hermite_product_2d` (beyond the reference's 2D
+    ceiling; used by the 3D GPE experiments).
+
+    modes: length-d sequence of per-axis quantum numbers; x: (N, d)."""
+    x = jnp.asarray(x)
+    d = x.shape[-1]
+    assert len(modes) == d, (modes, d)
+    fs = [hermite_basis(int(m), x[:, i]) for i, m in enumerate(modes)]
+    vals = [f.value for f in fs]
+
+    def prod_except(i):
+        out = None
+        for j, v in enumerate(vals):
+            if j == i:
+                continue
+            out = v if out is None else out * v
+        return out if out is not None else jnp.ones_like(vals[0])
+
+    val = vals[0]
+    for v in vals[1:]:
+        val = val * v
+    grad = jnp.stack([fs[i].grad[:, 0] * prod_except(i) for i in range(d)],
+                     axis=-1)
+    lap = sum(fs[i].lap * prod_except(i) for i in range(d))
+    return ValGradLap(val, grad, lap)
+
+
 # ---------------------------------------------------------------------------
 # Box (infinite well) basis
 # ---------------------------------------------------------------------------

@@ -36,3 +36,13 @@ def thomas_fermi_mu_2d_harmonic(gamma, a: float = 0.5):
     From ∫(μ−a r²)/γ d²r = 1 over r<√(μ/a): πμ²/(2aγ) = 1.
     """
     return jnp.sqrt(2.0 * a * gamma / jnp.pi)
+
+
+def thomas_fermi_mu_3d_harmonic(gamma, a: float = 0.5):
+    """TF μ for the 3D harmonic trap V = a·(x²+y²+z²) (beyond the
+    reference's 2D ceiling; sanity anchor for the 3D flagship).
+
+    From ∫(μ−a r²)/γ d³r = 1 over r<√(μ/a): 8πμ^{5/2}/(15γa^{3/2}) = 1,
+    so μ_TF = (15γa^{3/2}/(8π))^{2/5}.
+    """
+    return (15.0 * gamma * a ** 1.5 / (8.0 * jnp.pi)) ** 0.4

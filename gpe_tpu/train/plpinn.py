@@ -361,6 +361,12 @@ def train_plpinn(spec: GPESpec, gamma_values, modes=(0,), epochs: int = 5001,
                 # separate entry — by_gamma_params keys must stay a single
                 # sortable type (float γ) for pytree/bundle serialization
                 entry["params"] = jax.tree.map(np.asarray, res_lm.params)
+                # the complete solution is base + scale·net: export the
+                # (possibly rebase-folded) base on the training grid so
+                # consumers can reconstruct ψ without the trainer's state
+                entry["scale"] = float(scale)
+                if "base_val" in batch:
+                    entry["base_val"] = np.asarray(batch["base_val"])
             if verbose:
                 print(f"mode {mode} γ={g_last:g}: LM-polished μ={polished[mode]['mu']:.7f}")
 

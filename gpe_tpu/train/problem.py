@@ -106,6 +106,9 @@ def base_triple(spec: GPESpec, mode: int, x) -> bases.ValGradLap:
     if spec.basis == "hermite":
         if spec.dim == 2:
             return bases.hermite_product_2d(mode, 0, x)
+        if spec.dim >= 3:
+            return bases.hermite_product_nd(
+                (mode,) + (0,) * (spec.dim - 1), x)
         return bases.hermite_basis(mode, x)
     if spec.basis == "box":
         if spec.dim == 2:
@@ -164,7 +167,7 @@ def make_batch(spec: GPESpec, mode: int) -> dict:
 
     if spec.dim == 1:
         bx = jnp.array([[spec.lb], [spec.ub]], spec.dtype)
-    else:
+    elif spec.dim == 2:
         # box edges: corners + mid-edges of the hypercube (cheap Dirichlet probe)
         edges = jnp.linspace(spec.lb, spec.ub, 64)
         lo = jnp.full_like(edges, spec.lb)
@@ -172,6 +175,20 @@ def make_batch(spec: GPESpec, mode: int) -> dict:
         bx = jnp.concatenate([
             jnp.stack([edges, lo], -1), jnp.stack([edges, hi], -1),
             jnp.stack([lo, edges], -1), jnp.stack([hi, edges], -1)], axis=0).astype(spec.dtype)
+    else:
+        # d ≥ 3: the 2d hypercube faces, each sampled on a uniform
+        # (d−1)-dim grid sized so the total stays in the 2D path's ~256 range
+        m = max(2, int(round((256.0 / (2 * spec.dim))
+                             ** (1.0 / (spec.dim - 1)))))
+        face_pts = quadrature.uniform_grid(spec.lb, spec.ub, m,
+                                           d=spec.dim - 1)
+        faces = []
+        for axis in range(spec.dim):
+            for bound in (spec.lb, spec.ub):
+                col = jnp.full((face_pts.shape[0], 1), bound)
+                faces.append(jnp.concatenate(
+                    [face_pts[:, :axis], col, face_pts[:, axis:]], axis=1))
+        bx = jnp.concatenate(faces, axis=0).astype(spec.dtype)
 
     batch = {"x": x, "w": w, "V": V, "bx": bx}
     if spec.use_perturbation:

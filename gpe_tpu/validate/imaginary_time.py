@@ -27,20 +27,22 @@ def _k_grid(n: int, dx: float) -> np.ndarray:
     return 2.0 * np.pi * np.fft.fftfreq(n, d=dx)
 
 
+def _axis_view(k: np.ndarray, axis: int, dim: int) -> np.ndarray:
+    """Reshape a per-axis 1D array so it broadcasts along `axis` of a dim-D
+    grid (the N-D generalization of the kx[:, None] / ky[None, :] pattern)."""
+    return k.reshape([-1 if j == axis else 1 for j in range(dim)])
+
+
 def _spectral_ops(shape: tuple, dx: float, bc: str):
     """(to_spec, from_spec, k2): forward/inverse transform + the Laplacian
-    symbol on the spectral grid for the requested boundary condition."""
+    symbol on the spectral grid for the requested boundary condition.
+    Dimension-generic (1D/2D for the reference's problems, 3D+ beyond it)."""
     dim = len(shape)
     if bc == "periodic":
-        if dim == 1:
-            k2 = _k_grid(shape[0], dx) ** 2
-        else:
-            kx = _k_grid(shape[0], dx)
-            ky = _k_grid(shape[1], dx)
-            k2 = kx[:, None] ** 2 + ky[None, :] ** 2
-        fft = np.fft.fft if dim == 1 else np.fft.fft2
-        ifft = np.fft.ifft if dim == 1 else np.fft.ifft2
-        return fft, lambda a: np.real(ifft(a)), k2
+        ks = [_k_grid(n, dx) for n in shape]
+        k2 = sum(_axis_view(k, i, dim) ** 2 for i, k in enumerate(ks))
+        return (np.fft.fftn,
+                lambda a: np.real(np.fft.ifftn(a)), k2)
     if bc == "dirichlet":
         from scipy.fft import dstn
 
@@ -49,11 +51,8 @@ def _spectral_ops(shape: tuple, dx: float, bc: str):
         def axis_k(n):
             return np.pi * np.arange(1, n + 1) / ((n + 1) * dx)
 
-        if dim == 1:
-            k2 = axis_k(shape[0]) ** 2
-        else:
-            k2 = (axis_k(shape[0])[:, None] ** 2
-                  + axis_k(shape[1])[None, :] ** 2)
+        k2 = sum(_axis_view(axis_k(n), i, dim) ** 2
+                 for i, n in enumerate(shape))
         tr = lambda a: dstn(a, type=1, norm="ortho")
         return tr, tr, k2
     raise ValueError(f"unknown bc {bc!r}")
@@ -98,10 +97,9 @@ def imaginary_time_gpe(V: np.ndarray, dx: float, gamma: float,
         if bc == "dirichlet":
             # taper to the Dirichlet box so the seed has no edge discontinuity
             def sin_env(n):
-                return np.sin(np.pi * np.arange(1, n + 1) / (V.shape[0] + 1))
-            env = sin_env(V.shape[0])
-            psi = psi * (env if dim == 1 else env[:, None]
-                         * sin_env(V.shape[1])[None, :])
+                return np.sin(np.pi * np.arange(1, n + 1) / (n + 1))
+            for i, n in enumerate(V.shape):
+                psi = psi * _axis_view(sin_env(n), i, dim)
     else:
         psi = np.asarray(psi0, dtype=float).copy()
     psi /= np.sqrt(np.sum(psi * psi) * vol)
@@ -136,15 +134,10 @@ def _chemical_potential(psi, V, dx, gamma, kinetic, p=3.0, bc="periodic"):
         kin_e = kinetic * float(np.sum(k2 * a * a)) * vol
         dens = V * psi**2 + gamma * np.abs(psi) ** (p + 1.0)
         return kin_e + float(np.sum(dens) * vol)
-    if dim == 1:
-        k = _k_grid(psi.shape[0], dx)
-        grad2 = np.abs(np.fft.ifft(1j * k * np.fft.fft(psi))) ** 2
-    else:
-        kx = _k_grid(psi.shape[0], dx)[:, None]
-        ky = _k_grid(psi.shape[1], dx)[None, :]
-        f = np.fft.fft2(psi)
-        gx = np.fft.ifft2(1j * kx * f)
-        gy = np.fft.ifft2(1j * ky * f)
-        grad2 = np.abs(gx) ** 2 + np.abs(gy) ** 2
+    f = np.fft.fftn(psi)
+    grad2 = np.zeros_like(psi, dtype=float)
+    for i, n in enumerate(psi.shape):
+        ki = _axis_view(_k_grid(n, dx), i, dim)
+        grad2 = grad2 + np.abs(np.fft.ifftn(1j * ki * f)) ** 2
     dens = kinetic * grad2 + V * psi**2 + gamma * np.abs(psi) ** (p + 1.0)
     return float(np.sum(dens) * vol)

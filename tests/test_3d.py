@@ -1,0 +1,152 @@
+"""3D GPE support (beyond the reference's 2D ceiling): the dimension-generic
+layers — Hermite product basis, hypercube-face boundary batch, N-D split-step
+oracle, forward-Laplacian, fused Pallas kernels, TF anchor — verified in d=3."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpe_tpu.models import mlp
+from gpe_tpu.physics import bases
+from gpe_tpu.train import GPESpec, make_batch, make_loss_fn
+
+
+def test_hermite_product_nd_matches_autodiff():
+    """Value/∇/Δ of φ₁(x)φ₀(y)φ₂(z) vs the generic jvp-of-grad oracle."""
+    from gpe_tpu.ops.laplacian import value_grad_lap_generic
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (64, 3), minval=-2.0, maxval=2.0)
+    got = bases.hermite_product_nd((1, 0, 2), x)
+
+    def f(pt):
+        return (bases.hermite_basis(1, pt[0:1]).value[0]
+                * bases.hermite_basis(0, pt[1:2]).value[0]
+                * bases.hermite_basis(2, pt[2:3]).value[0])
+
+    ref = value_grad_lap_generic(f, x)
+    np.testing.assert_allclose(np.asarray(got.value), np.asarray(ref.value),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.grad), np.asarray(ref.grad),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.lap), np.asarray(ref.lap),
+                               rtol=1e-4, atol=1e-4)
+    # 2D consistency: the nd product reduces to hermite_product_2d
+    xy = x[:, :2]
+    a = bases.hermite_product_nd((2, 1), xy)
+    b = bases.hermite_product_2d(2, 1, xy)
+    np.testing.assert_allclose(np.asarray(a.value), np.asarray(b.value),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.lap), np.asarray(b.lap),
+                               rtol=1e-5, atol=1e-6)
+
+
+def _spec3d(n=8, width=16):
+    return GPESpec(dim=3, lb=-6.0, ub=6.0, n_points=n,
+                   layers=(3, width, width, 1), activation="tanh",
+                   potential="harmonic", potential_kwargs=(("a", 0.5),),
+                   basis="hermite", kinetic=0.5, nonlinearity="abs_power")
+
+
+def test_make_batch_3d_shapes_and_faces():
+    spec = _spec3d()
+    batch = make_batch(spec, 0)
+    n = spec.n_points ** 3
+    assert batch["x"].shape == (n, 3)
+    assert batch["V"].shape == (n,)
+    assert batch["w"].shape == (n,)
+    assert batch["base_val"].shape == (n,)
+    bx = np.asarray(batch["bx"])
+    assert bx.shape[1] == 3
+    # every boundary point sits on a face of the cube
+    on_face = np.any(np.isclose(bx, spec.lb) | np.isclose(bx, spec.ub),
+                     axis=1)
+    assert on_face.all()
+    # all 6 faces represented
+    for axis in range(3):
+        for bound in (spec.lb, spec.ub):
+            assert np.isclose(bx[:, axis], bound).any()
+    # quadrature weight = dx³
+    dx = (spec.ub - spec.lb) / (spec.n_points - 1)
+    np.testing.assert_allclose(np.asarray(batch["w"])[0], dx ** 3, rtol=1e-6)
+
+
+def test_loss_fn_3d_gamma0_mu_at_base():
+    """At γ=0 with the exact linear base and zero perturbation, the Rayleigh
+    μ must be the 3D ground-state eigenvalue 1.5 (−½Δ + ½|x|², ℏω=1)."""
+    spec = _spec3d(n=14)
+    batch = make_batch(spec, 0)
+    loss_fn = make_loss_fn(spec)
+    params = jax.tree.map(jnp.zeros_like,
+                          mlp.init_mlp(jax.random.PRNGKey(0), spec.layers))
+    _, aux = loss_fn(params, batch, jnp.float32(0.0), jnp.float32(0.0))
+    np.testing.assert_allclose(float(aux["mu"]), 1.5, atol=2e-3)
+
+
+def test_fused_kernel_3d_parity():
+    """The fused Pallas gradient is generic over layers[0]=d: exact parity
+    vs jax.value_and_grad of the XLA loss in d=3 (interpret mode)."""
+    from gpe_tpu.pallas.fused_grad import make_pallas_value_and_grad
+
+    spec = _spec3d(n=8, width=32)
+    batch = make_batch(spec, 0)
+    loss_fn = make_loss_fn(spec)
+    params = mlp.init_mlp(jax.random.PRNGKey(1), spec.layers)
+    g, s = jnp.float32(5.0), jnp.float32(0.01)
+    (tot, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, batch, g, s)
+    vag = make_pallas_value_and_grad(
+        spec.layers, spec.activation, spec.p, spec.kinetic,
+        spec.nonlinearity, bc_weight=spec.bc_weight,
+        norm_weight=spec.norm_weight, tile=128, sum_tile=256, interpret=True)
+    (tot2, aux2), grads2 = vag(params, batch, g, s)
+    np.testing.assert_allclose(float(tot2), float(tot), rtol=1e-5)
+    np.testing.assert_allclose(float(aux2["mu"]), float(aux["mu"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(grads2), jax.tree.leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_imaginary_time_3d_gamma0():
+    """3D split-step oracle at γ=0: μ = 1.5 exactly (harmonic, kinetic=½)."""
+    from gpe_tpu.validate.imaginary_time import imaginary_time_gpe
+
+    n = 32
+    x1 = np.linspace(-6.0, 6.0, n, endpoint=False)
+    X, Y, Z = np.meshgrid(x1, x1, x1, indexing="ij")
+    mu, psi = imaginary_time_gpe(0.5 * (X**2 + Y**2 + Z**2),
+                                 x1[1] - x1[0], 0.0, kinetic=0.5,
+                                 tau=5e-3, steps=3000)
+    assert abs(mu - 1.5) < 1e-6, mu
+    # ground state is the isotropic Gaussian
+    dx = x1[1] - x1[0]
+    ref = np.exp(-0.5 * (X**2 + Y**2 + Z**2) / 1.0)
+    ref /= np.sqrt(np.sum(ref * ref) * dx**3)
+    assert np.max(np.abs(np.abs(psi) - ref)) < 1e-6
+
+
+def test_thomas_fermi_mu_3d_normalization():
+    """μ_TF solves ∫|ψ_TF|² d³r = 1 — check the closed form numerically."""
+    from gpe_tpu.physics.thomas_fermi import (thomas_fermi,
+                                              thomas_fermi_mu_3d_harmonic)
+
+    gamma, a = 100.0, 0.5
+    mu = float(thomas_fermi_mu_3d_harmonic(gamma, a))
+    r = np.linspace(0.0, np.sqrt(mu / a), 20001)
+    dens = np.maximum(mu - a * r * r, 0.0) / gamma
+    integral = 4.0 * np.pi * np.trapezoid(dens * r * r, r)
+    np.testing.assert_allclose(integral, 1.0, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_3d_linear_sanity():
+    """End-to-end 3D PL-PINN fit at γ=0: μ → 1.5 from the perturbation
+    ansatz (the 3D twin of BASELINE config #1)."""
+    from gpe_tpu.train import train_plpinn
+
+    spec = _spec3d(n=12, width=24)
+    res = train_plpinn(spec, [0.0], modes=(0,), epochs=3000, tol=1e-7,
+                       patience=10**9, pretrain_epochs=1500, check_every=600)
+    mu = res.mu_table[0][-1][1]
+    assert abs(mu - 1.5) < 5e-3, mu
