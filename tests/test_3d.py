@@ -74,14 +74,16 @@ def test_make_batch_3d_shapes_and_faces():
 
 def test_loss_fn_3d_gamma0_mu_at_base():
     """At γ=0 with the exact linear base and zero perturbation, the Rayleigh
-    μ must be the 3D ground-state eigenvalue 1.5 (−½Δ + ½|x|², ℏω=1)."""
+    μ must be the 3D eigenvalue ladder 1.5 + mode (−½Δ + ½|x|², ℏω=1):
+    the mode-n base is φ_n(x)φ₀(y)φ₀(z) (mode-via-base-selection in 3D)."""
     spec = _spec3d(n=14)
-    batch = make_batch(spec, 0)
     loss_fn = make_loss_fn(spec)
     params = jax.tree.map(jnp.zeros_like,
                           mlp.init_mlp(jax.random.PRNGKey(0), spec.layers))
-    _, aux = loss_fn(params, batch, jnp.float32(0.0), jnp.float32(0.0))
-    np.testing.assert_allclose(float(aux["mu"]), 1.5, atol=2e-3)
+    for mode in (0, 1, 2):
+        batch = make_batch(spec, mode)
+        _, aux = loss_fn(params, batch, jnp.float32(0.0), jnp.float32(0.0))
+        np.testing.assert_allclose(float(aux["mu"]), 1.5 + mode, atol=5e-3)
 
 
 def test_fused_kernel_3d_parity():
