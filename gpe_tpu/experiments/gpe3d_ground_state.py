@@ -32,56 +32,80 @@ OUT = "runs/gpe3d_ground_state"
 
 
 def _oracle(gammas, n: int, lb: float, ub: float, cache_path: str,
-            confirm_n: int = 80, verbose: bool = True):
+            confirm_n: int = 80, verbose: bool = True,
+            tau: float = 4e-3, richardson: int = 1, rich_final: int = 2):
     """γ-laddered f64 split-step oracle: {γ: μ*} + final-γ ψ on the n³ grid.
 
-    Each rung warm-starts from the previous converged state; each checkpoint
-    μ is Richardson-extrapolated (order 1 — the τ² remainder at τ=2e-3 is
-    below the 64³ grid error). The confirm_n run at the final γ bounds the
-    spatial discretization error."""
+    Each rung warm-starts from the previous converged state. τ-bias policy
+    (single-core budget: the convergence tail scales as 1/τ, so Richardson
+    depth is spent where it matters): ramp rungs get order-`richardson`
+    extrapolation (order 1 at τ=4e-3 ⇒ ~1e-4-class τ² remainder — enough
+    for ramp rows against a ~1e-3-class net), the FINAL γ gets order
+    `rich_final` (order 2 ⇒ ~1e-5-class, the headline row). The confirm_n
+    run at the final γ bounds the spatial discretization error."""
     import numpy as np
     from gpe_tpu.validate.imaginary_time import imaginary_time_gpe
 
+    gam = [float(g) for g in gammas]
+    mus, psi, grid_err = {}, None, float("nan")
     if os.path.exists(cache_path):
+        # resume from the longest cached PREFIX of the requested ladder
+        # (the cache is written incrementally after every rung: a killed
+        # precompute loses one rung, not the ladder)
         d = np.load(cache_path, allow_pickle=True)
-        if (list(d["gammas"]) == [float(g) for g in gammas]
-                and int(d["n"]) == n):
-            return ({float(g): float(m) for g, m in
-                     zip(d["gammas"], d["mus"])},
-                    d["psi_final"], float(d["grid_err_bound"]))
+        if int(d["n"]) == n:
+            cached, cmus = list(d["gammas"]), list(d["mus"])
+            k = 0
+            while (k < min(len(cached), len(gam))
+                   and float(cached[k]) == gam[k]):
+                k += 1
+            if k:
+                mus = {float(g): float(m)
+                       for g, m in zip(cached[:k], cmus[:k])}
+                psi = np.asarray(d["psi_final"])
+                grid_err = float(d["grid_err_bound"])
+                if k == len(gam) and (confirm_n in (None, n)
+                                      or not np.isnan(grid_err)):
+                    return mus, psi, grid_err
 
     def grid(m):
         x1 = np.linspace(lb, ub, m)
         X, Y, Z = np.meshgrid(x1, x1, x1, indexing="ij")
         return x1, 0.5 * (X * X + Y * Y + Z * Z)
 
+    def save():
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        done = [g for g in gam if g in mus]
+        np.savez(cache_path, gammas=np.asarray(done),
+                 mus=np.asarray([mus[g] for g in done]),
+                 psi_final=psi, n=n, grid_err_bound=grid_err)
+
     x1, V = grid(n)
     dx = x1[1] - x1[0]
-    mus, psi = {}, None
-    for g in gammas:
+    for g in gam:
+        if g in mus:
+            continue
         t0 = time.time()
-        mu, psi = imaginary_time_gpe(V, dx, float(g), kinetic=0.5,
-                                     tau=2e-3, steps=20000, psi0=psi,
-                                     richardson=1)
-        mus[float(g)] = float(mu)
+        order = rich_final if g == gam[-1] else richardson
+        mu, psi = imaginary_time_gpe(V, dx, g, kinetic=0.5,
+                                     tau=tau, steps=20000, psi0=psi,
+                                     tol=1e-10, richardson=order)
+        mus[g] = float(mu)
+        save()
         if verbose:
-            print(f"oracle γ={g:g}: μ*={mu:.7f} ({time.time()-t0:.0f}s)",
-                  flush=True)
+            print(f"oracle γ={g:g}: μ*={mu:.7f} (order {order}, "
+                  f"{time.time()-t0:.0f}s)", flush=True)
     # grid-convergence bound: re-solve the final γ on the confirm grid
-    grid_err = float("nan")
-    if confirm_n and confirm_n != n:
+    if confirm_n and confirm_n != n and np.isnan(grid_err):
         xc, Vc = grid(confirm_n)
-        mu_c, _ = imaginary_time_gpe(Vc, xc[1] - xc[0], float(gammas[-1]),
-                                     kinetic=0.5, tau=2e-3, steps=20000,
-                                     richardson=1)
-        grid_err = abs(mu_c - mus[float(gammas[-1])])
+        mu_c, _ = imaginary_time_gpe(Vc, xc[1] - xc[0], gam[-1],
+                                     kinetic=0.5, tau=tau, steps=20000,
+                                     tol=1e-10, richardson=rich_final)
+        grid_err = abs(mu_c - mus[gam[-1]])
         if verbose:
             print(f"oracle grid check: n={n} vs {confirm_n} at "
-                  f"γ={gammas[-1]:g}: |Δμ*| = {grid_err:.2e}", flush=True)
-    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-    np.savez(cache_path, gammas=np.asarray([float(g) for g in gammas]),
-             mus=np.asarray([mus[float(g)] for g in gammas]),
-             psi_final=psi, n=n, grid_err_bound=grid_err)
+                  f"γ={gam[-1]:g}: |Δμ*| = {grid_err:.2e}", flush=True)
+        save()
     return mus, psi, grid_err
 
 
@@ -174,10 +198,12 @@ def main(argv=None):
     # bounds the finer grid; the smoke's 24-vs-32 check was 3e-8)
     from gpe_tpu.train import make_batch
     batch = make_batch(spec, 0)
+    # ψ target only (μ comes from the main oracle): no Richardson — the
+    # O(τ) μ bias barely moves ψ at the 1e-3 L2 comparison scale
     _, psi_ref_train, _ = _oracle(
         args.gammas, args.n, spec.lb, spec.ub,
         os.path.join(args.out, "oracle_cache_traingrid.npz"),
-        confirm_n=None)
+        confirm_n=None, richardson=0, rich_final=0)
     x1 = np.linspace(spec.lb, spec.ub, args.n)
     psi_net = complete_psi(pol, spec, np.asarray(batch["x"]))
     psi_l2, psi_max = psi_errors_3d(psi_net, x1, psi_ref_train)

@@ -36,13 +36,20 @@ def _axis_view(k: np.ndarray, axis: int, dim: int) -> np.ndarray:
 def _spectral_ops(shape: tuple, dx: float, bc: str):
     """(to_spec, from_spec, k2): forward/inverse transform + the Laplacian
     symbol on the spectral grid for the requested boundary condition.
-    Dimension-generic (1D/2D for the reference's problems, 3D+ beyond it)."""
+    Dimension-generic (1D/2D for the reference's problems, 3D+ beyond it).
+
+    The periodic branch uses the real-input rFFT (ψ is real throughout this
+    solver): half the spectrum, ~2× the complex-FFT speed — decisive for the
+    3D oracle, where the FFT is the entire per-step cost."""
     dim = len(shape)
     if bc == "periodic":
-        ks = [_k_grid(n, dx) for n in shape]
+        from scipy import fft as sfft
+
+        ks = [_k_grid(n, dx) for n in shape[:-1]]
+        ks.append(2.0 * np.pi * np.fft.rfftfreq(shape[-1], d=dx))
         k2 = sum(_axis_view(k, i, dim) ** 2 for i, k in enumerate(ks))
-        return (np.fft.fftn,
-                lambda a: np.real(np.fft.ifftn(a)), k2)
+        return (lambda a: sfft.rfftn(a, workers=-1),
+                lambda a: sfft.irfftn(a, s=shape, workers=-1), k2)
     if bc == "dirichlet":
         from scipy.fft import dstn
 
@@ -134,10 +141,14 @@ def _chemical_potential(psi, V, dx, gamma, kinetic, p=3.0, bc="periodic"):
         kin_e = kinetic * float(np.sum(k2 * a * a)) * vol
         dens = V * psi**2 + gamma * np.abs(psi) ** (p + 1.0)
         return kin_e + float(np.sum(dens) * vol)
-    f = np.fft.fftn(psi)
+    from scipy import fft as sfft
+
+    f = sfft.rfftn(psi, workers=-1)
     grad2 = np.zeros_like(psi, dtype=float)
     for i, n in enumerate(psi.shape):
-        ki = _axis_view(_k_grid(n, dx), i, dim)
-        grad2 = grad2 + np.abs(np.fft.ifftn(1j * ki * f)) ** 2
+        ki = _axis_view(_k_grid(n, dx) if i < dim - 1
+                        else 2.0 * np.pi * np.fft.rfftfreq(n, d=dx), i, dim)
+        grad2 = grad2 + sfft.irfftn(1j * ki * f, s=psi.shape,
+                                    workers=-1) ** 2
     dens = kinetic * grad2 + V * psi**2 + gamma * np.abs(psi) ** (p + 1.0)
     return float(np.sum(dens) * vol)
