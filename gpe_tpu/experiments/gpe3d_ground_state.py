@@ -7,19 +7,28 @@ dimension-generic, so 3D costs one experiment module:
 
   −½Δψ + ½|x|²ψ + γ|ψ|²ψ = μψ  on [−6,6]³,  ∫|ψ|² = 1,  γ ramp 0 → 100.
 
-Pipeline (same recipe as the committed 2D `gpe2d_ground_state`):
+Pipeline (same recipe as the committed 2D FLAGSHIP `gpe2d_flagship`):
   1. float64 split-step imaginary-time oracle on a 64³ grid, γ-ladder
      warm-started, Richardson-extrapolated in τ; one 80³ confirmation at the
      final γ bounds the grid error. Cached to oracle_cache.npz.
-  2. PL-PINN continuation with the rebased ansatz (PL-PINN-R) at ~47k
-     collocation points — the fused Pallas training gradient adopts
-     automatically (the kernels are generic over layers[0] = d).
-  3. 120-step Levenberg–Marquardt residual polish at the final γ.
-Reports μ errors per rung, ψ L2/max error on the oracle grid at γ=100, the
-TF-μ anchor (physics/thomas_fermi.thomas_fermi_mu_3d_harmonic), and wall.
+  2. pretrain the vanilla net to the linear (γ=0) Hermite-product ground
+     state, then γ-continuation with the spectral-flow distillation solver
+     (train/spectral_flow.py — dimension-generic as of round 4) at ~47k
+     grid collocation points, LM residual polish per rung.
+Reports the mesh-free μ (net's analytic forward-Laplacian) and the spectral
+grid μ per rung vs the oracle ladder, ψ L2/max error on the training grid at
+γ=100, the TF anchor (physics/thomas_fermi.thomas_fermi_mu_3d_harmonic), wall.
+
+A PL-PINN/LM run of this config (the 2D paper-protocol recipe) falls off the
+ground-state branch at γ≥20 (μ freezes near 1.97, ψ L2 err 0.5): at 36³ the
+residual loss concentrates on the ~9% of collocation points inside the cloud
+and Adam parks in a spurious basin the continuation cannot escape — the
+value-space spectral-flow distillation has no such basin, which is exactly
+why it is the flagship recipe in 2D as well.
 
 Run (TPU): python -m gpe_tpu.experiments.gpe3d_ground_state
-CPU smoke: ... --n 12 --width 32 --epochs 300 --gammas 0 2 --oracle-n 32
+CPU smoke: ... --n 16 --width 48 --outer 60 --inner 50 --gammas 0 5 \
+               --oracle-n 32 --oracle-confirm-n 48
 """
 from __future__ import annotations
 
@@ -109,18 +118,6 @@ def _oracle(gammas, n: int, lb: float, ub: float, cache_path: str,
     return mus, psi, grid_err
 
 
-def complete_psi(pol, spec, x):
-    """ψ = base + scale·net on the training grid, from the polished entry's
-    exported (rebase-folded) base (train/plpinn.py keep_params export)."""
-    import numpy as np
-    import jax.numpy as jnp
-    from gpe_tpu.models import mlp
-
-    u = np.asarray(mlp.mlp_apply(pol["params"], jnp.asarray(x),
-                                 spec.activation), np.float64)
-    return pol["base_val"].astype(np.float64) + pol["scale"] * u
-
-
 def psi_errors_3d(psi_net_flat, x1, psi_ref):
     """‖ψ_net − ψ_ref‖_L2 and max|Δψ|, both states L2-normalized on the
     shared n³ grid and sign-aligned (the 3D twin of
@@ -146,10 +143,11 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=128)
     ap.add_argument("--gammas", type=float, nargs="*",
                     default=[0.0, 5.0, 10.0, 20.0, 35.0, 50.0, 70.0, 100.0])
-    ap.add_argument("--epochs", type=int, default=8000)
+    ap.add_argument("--outer", type=int, default=200)
+    ap.add_argument("--inner", type=int, default=80)
     ap.add_argument("--oracle-n", type=int, default=64)
     ap.add_argument("--oracle-confirm-n", type=int, default=80)
-    ap.add_argument("--lm-steps", type=int, default=120)
+    ap.add_argument("--lm-steps", type=int, default=60)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=OUT)
     args = ap.parse_args(argv)
@@ -160,16 +158,18 @@ def main(argv=None):
     # accuracy-critical fit (same rationale as gpe2d_flagship)
     jax.config.update("jax_default_matmul_precision", "highest")
 
+    from gpe_tpu.models import mlp
     from gpe_tpu.physics.thomas_fermi import thomas_fermi_mu_3d_harmonic
-    from gpe_tpu.train import GPESpec
-    from gpe_tpu.train.plpinn import train_plpinn
+    from gpe_tpu.train import GPESpec, make_batch, pretrain_to_base
+    from gpe_tpu.train.problem import base_triple
+    from gpe_tpu.train.spectral_flow import make_spectral_flow_solver
+    from gpe_tpu.io import save_params
 
     spec = GPESpec(dim=3, lb=-6.0, ub=6.0, n_points=args.n,
                    layers=(3, args.width, args.width, args.width, 1),
-                   activation="shifted_tanh", potential="harmonic",
-                   potential_kwargs=(("a", 0.5),), basis="hermite",
-                   kinetic=0.5, nonlinearity="abs_power",
-                   bc_weight=10.0, norm_weight=20.0)
+                   potential="harmonic", potential_kwargs=(("a", 0.5),),
+                   basis="hermite", kinetic=0.5, nonlinearity="abs_power",
+                   use_perturbation=False)
 
     os.makedirs(args.out, exist_ok=True)
     mus_ref, psi_ref, grid_err = _oracle(
@@ -177,27 +177,38 @@ def main(argv=None):
         os.path.join(args.out, "oracle_cache.npz"),
         confirm_n=args.oracle_confirm_n)
 
+    batch = make_batch(spec, 0)
+    params = mlp.init_mlp(jax.random.PRNGKey(args.seed), spec.layers)
+    base = base_triple(GPESpec(dim=3, lb=spec.lb, ub=spec.ub,
+                               n_points=args.n, basis="hermite"),
+                       0, batch["x"])
     t0 = time.time()
-    res = train_plpinn(spec, args.gammas, modes=(0,), epochs=args.epochs,
-                       tol=0.0, patience=10 ** 9, seed=args.seed,
-                       rebase=True, lm_polish=True, lm_steps=args.lm_steps,
-                       verbose=True)
+    params, pre_mse = pretrain_to_base(params, batch["x"],
+                                       np.asarray(base.value),
+                                       spec.activation, epochs=3000,
+                                       lbfgs_steps=100)
+    print(f"pretrain mse {pre_mse:.2e} ({time.time()-t0:.0f}s)", flush=True)
+
+    solver = make_spectral_flow_solver(spec, outer_steps=args.outer,
+                                       inner_steps=args.inner, tau=2e-2,
+                                       final_inner_steps=4000,
+                                       final_lbfgs_steps=400,
+                                       polish_steps=args.lm_steps)
+    rows = []
+    for g in args.gammas:
+        t1 = time.time()
+        res = solver(params, batch, float(g))
+        params = res.params
+        rows.append({"gamma": float(g), "mu": res.mu, "mu_grid": res.mu_grid,
+                     "mu_ref": mus_ref[float(g)],
+                     "abs_err": abs(res.mu - mus_ref[float(g)]),
+                     "pde_loss": res.pde_loss,
+                     "wall_s": round(time.time() - t1, 1)})
+        print(json.dumps(rows[-1]), flush=True)
     wall = time.time() - t0
 
-    rows = []
-    for g, mu in res.mu_table[0]:
-        rows.append({"gamma": g, "mu": mu, "mu_ref": mus_ref[float(g)],
-                     "abs_err": abs(mu - mus_ref[float(g)])})
     gmax = float(args.gammas[-1])
-    pol = res.polished.get(0, {})
-    mu_final = float(pol.get("mu", rows[-1]["mu"]))
-
-    # ψ comparison on the TRAINING grid (complete solution = folded base +
-    # scale·net): a second small oracle solve on exactly that grid — the
-    # n=36 grid is already spectrally converged (the 64-vs-80 μ check above
-    # bounds the finer grid; the smoke's 24-vs-32 check was 3e-8)
-    from gpe_tpu.train import make_batch
-    batch = make_batch(spec, 0)
+    mu_final = rows[-1]["mu"]
     # ψ target only (μ comes from the main oracle): no Richardson — the
     # O(τ) μ bias barely moves ψ at the 1e-3 L2 comparison scale
     _, psi_ref_train, _ = _oracle(
@@ -205,16 +216,20 @@ def main(argv=None):
         os.path.join(args.out, "oracle_cache_traingrid.npz"),
         confirm_n=None, richardson=0, rich_final=0)
     x1 = np.linspace(spec.lb, spec.ub, args.n)
-    psi_net = complete_psi(pol, spec, np.asarray(batch["x"]))
+    psi_net = np.asarray(mlp.mlp_apply(params, batch["x"], spec.activation),
+                         np.float64)
     psi_l2, psi_max = psi_errors_3d(psi_net, x1, psi_ref_train)
 
     summary = {
         "config": "3D GPE ground state (beyond-reference): harmonic trap, "
-                  f"{args.n ** 3} collocation pts, γ→{gmax:g}",
+                  f"{args.n ** 3} collocation pts, γ→{gmax:g}, "
+                  "spectral-flow distillation + LM polish",
         "ramp": rows,
         "mu_final": mu_final,
+        "mu_grid_final": rows[-1]["mu_grid"],
         "mu_ref_final": mus_ref[gmax],
         "abs_err_final": abs(mu_final - mus_ref[gmax]),
+        "abs_err_grid_final": abs(rows[-1]["mu_grid"] - mus_ref[gmax]),
         "oracle_grid_err_bound": grid_err,
         "mu_tf_final": float(thomas_fermi_mu_3d_harmonic(gmax)),
         "psi_l2_err": psi_l2,
@@ -224,6 +239,7 @@ def main(argv=None):
     print(json.dumps(summary), flush=True)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
+    save_params(os.path.join(args.out, "params.pkl"), params)
 
     # midplane slice plot (z ≈ 0): complete-solution ψ(x, y, z_mid) contour
     try:

@@ -97,40 +97,48 @@ def make_spectral_flow_solver(spec: GPESpec, outer_steps: int = 150,
     dim = spec.dim
     act = spec.activation
     dx = (spec.ub - spec.lb) / (n_side - 1)
+
+    def _bcast(k, axis):            # per-axis symbol → dim-D broadcast shape
+        return k.reshape([-1 if j == axis else 1 for j in range(dim)])
+
     if bc == "periodic":
         k1 = 2.0 * jnp.pi * jnp.fft.fftfreq(n_side, d=dx)
-        k2 = k1**2 if dim == 1 else k1[:, None] ** 2 + k1[None, :] ** 2
+        k2 = sum(_bcast(k1, ax) ** 2 for ax in range(dim))
     elif bc == "dirichlet":
         m = n_side - 2          # interior points; box length L = (m+1)·dx
         kd = jnp.pi * jnp.arange(1, m + 1) / ((m + 1) * dx)
-        k2 = kd**2 if dim == 1 else kd[:, None] ** 2 + kd[None, :] ** 2
+        k2 = sum(_bcast(kd, ax) ** 2 for ax in range(dim))
     else:
         raise ValueError(f"unknown bc {bc!r}")
     kin_prop = jnp.exp(-tau * spec.kinetic * k2)
 
     inner_opt = optax.adam(inner_lr)
     vol = dx**dim
+    _core = (slice(1, -1),) * dim
 
     def _normalize(u):
         return u / jnp.sqrt(jnp.sum(u * u) * vol + 1e-30)
 
     def _interior(g):
-        return g[1:-1] if dim == 1 else g[1:-1, 1:-1]
+        return g[_core]
 
     def _embed(gi):
         full = jnp.zeros((n_side,) * dim, gi.dtype)
-        return (full.at[1:-1].set(gi) if dim == 1
-                else full.at[1:-1, 1:-1].set(gi))
+        return full.at[_core].set(gi)
 
     def _to_spec(g):
         if bc == "periodic":
-            return jnp.fft.fft(g) if dim == 1 else jnp.fft.fft2(g)
-        return dst1(g) if dim == 1 else dst1(dst1(g, 0), 1)
+            return jnp.fft.fftn(g)
+        for ax in range(dim):
+            g = dst1(g, ax)
+        return g
 
     def _from_spec(a):
         if bc == "periodic":
-            return jnp.real(jnp.fft.ifft(a) if dim == 1 else jnp.fft.ifft2(a))
-        return dst1(a) if dim == 1 else dst1(dst1(a, 0), 1)
+            return jnp.real(jnp.fft.ifftn(a))
+        for ax in range(dim):
+            a = dst1(a, ax)
+        return a
 
     def _flow_step(u, V, gamma):
         """One block of imaginary-time substeps on the grid values; takes and

@@ -142,6 +142,43 @@ def test_thomas_fermi_mu_3d_normalization():
 
 
 @pytest.mark.slow
+def test_spectral_flow_3d_tracks_gamma():
+    """γ>0 3D coverage (the gap that let the round-4 PL-PINN 3D ramp failure
+    slip: every earlier 3D check was γ=0, where the nonlinear term — and the
+    continuation — is off). The N-D spectral-flow solver must land the grid μ
+    on the f64 oracle and pull the net within distill error at γ=5."""
+    from gpe_tpu.train import pretrain_to_base
+    from gpe_tpu.train.problem import base_triple
+    from gpe_tpu.train.spectral_flow import make_spectral_flow_solver
+    from gpe_tpu.validate.imaginary_time import imaginary_time_gpe
+
+    n, width = 16, 48
+    spec = GPESpec(dim=3, lb=-6.0, ub=6.0, n_points=n,
+                   layers=(3, width, width, width, 1), potential="harmonic",
+                   potential_kwargs=(("a", 0.5),), basis="hermite",
+                   kinetic=0.5, nonlinearity="abs_power",
+                   use_perturbation=False)
+    batch = make_batch(spec, 0)
+    params = mlp.init_mlp(jax.random.PRNGKey(0), spec.layers)
+    base = base_triple(GPESpec(dim=3, lb=-6.0, ub=6.0, n_points=n,
+                               basis="hermite"), 0, batch["x"])
+    params, _ = pretrain_to_base(params, batch["x"], np.asarray(base.value),
+                                 spec.activation, epochs=800, lbfgs_steps=50)
+    solver = make_spectral_flow_solver(spec, outer_steps=60, inner_steps=50,
+                                       tau=2e-2, final_inner_steps=800,
+                                       final_lbfgs_steps=80, polish_steps=20)
+    res = solver(params, batch, 5.0)
+
+    x1 = np.linspace(-6.0, 6.0, 32)
+    X, Y, Z = np.meshgrid(x1, x1, x1, indexing="ij")
+    mu_ref, _ = imaginary_time_gpe(0.5 * (X**2 + Y**2 + Z**2), x1[1] - x1[0],
+                                   5.0, kinetic=0.5, tau=4e-3, steps=8000,
+                                   tol=1e-10, richardson=1)
+    assert abs(res.mu_grid - mu_ref) < 1e-3, (res.mu_grid, mu_ref)
+    assert abs(res.mu - mu_ref) < 5e-2, (res.mu, mu_ref)
+
+
+@pytest.mark.slow
 def test_train_3d_linear_sanity():
     """End-to-end 3D PL-PINN fit at γ=0: μ → 1.5 from the perturbation
     ansatz (the 3D twin of BASELINE config #1)."""
