@@ -156,6 +156,8 @@ def main(argv=None):
                 "quench_factor": args.quench, "amplitude_fit": amp_br,
                 "fit_rms": rms_br,
             },
+            "backend": jax.devices()[0].platform,
+            "dtype": "complex64" if args.f32 else "complex128",
             "norm_drift": float(np.max(np.abs(norm_k - 1.0))),
             "energy_drift_rel": float(np.max(np.abs(e_b / e_b[0] - 1.0))),
             "throughput_grid_pt_steps_per_sec": float(
