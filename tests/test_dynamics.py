@@ -157,6 +157,18 @@ def test_2d_kohn_and_conservation():
         assert np.max(np.abs(c[:, 1])) < 1e-8           # no y excitation
 
 
+def test_fit_frequency_recovers_omega():
+    # the quench-experiment fitter: FFT-seeded golden-section least squares
+    from gpe_tpu.experiments.gpe_dynamics import fit_frequency
+
+    t = np.linspace(0.0, 8 * np.pi, 401)
+    y = 3.0 + 0.4 * np.cos(1.37 * t) + 0.1 * np.sin(1.37 * t)
+    w, amp, rms = fit_frequency(t, y)
+    assert abs(w - 1.37) < 1e-6
+    assert abs(amp - np.hypot(0.4, 0.1)) < 1e-6
+    assert rms < 1e-8
+
+
 @pytest.mark.parametrize("bc", ["periodic", "dirichlet"])
 def test_float32_path_runs(bc):
     # default (non-x64) path compiles and conserves norm to f32 precision
