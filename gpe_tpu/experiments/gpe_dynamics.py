@@ -76,6 +76,58 @@ def fit_frequency(t, y):
     return float(w), amp, float(np.sqrt(rss / t.size))
 
 
+def breathing_sweep_1d(out_dir, gammas=(0.0, 1.0, 5.0, 20.0, 100.0, 500.0),
+                       n=512, half=16.0, quench=1.05, periods=6.0,
+                       gs_steps=30000):
+    """1D monopole-frequency crossover vs interaction strength.
+
+    Unlike 2D (hidden SO(2,1) symmetry pins ω=2 at every γ), the 1D
+    breathing mode interpolates between two analytic limits: ω=2ω_trap at
+    γ=0 (single particle) and ω=√3·ω_trap in the Thomas–Fermi limit
+    (hydrodynamic sum rule, Menotti & Stringari PRA 66 043610). A small
+    quench γ→1.05γ stays in the linear-response regime; the fitted width
+    frequency must fall monotonically from 2 to √3 along the sweep — a
+    quantitative nonlinear-dynamics oracle with no free parameters.
+
+    dt is set BELOW the split-step parametric-resonance threshold
+    π/(c·k_max²): Strang splitting is exactly unitary, so at larger dt the
+    aliased kinetic phases dt·c·k² ≈ π resonate with the nonlinear term and
+    pump energy into high-k modes without any norm drift (observed at
+    γ=100, dt=6.3e-3: ⟨x²⟩ 5.6 → 177 within one trap period while the norm
+    held 1 ± 2e-13)."""
+    import numpy as np
+
+    from gpe_tpu.dynamics import evolve, ground_state
+
+    x = np.linspace(-half, half, n, endpoint=False)
+    dx = float(x[1] - x[0])
+    V = 0.5 * x * x
+    t_end = periods * 2.0 * np.pi
+    kmax2 = (np.pi / dx) ** 2
+    dt = 0.8 * np.pi / (0.5 * kmax2)
+    steps = int(np.ceil(t_end / dt))
+    rec = max(1, steps // 600)
+    rows = []
+    for g in gammas:
+        _, psi = ground_state(V, dx, float(g), tau=2e-3, steps=gs_steps,
+                              tol=1e-12)
+        _, obs = evolve(np.asarray(psi), V, dx, dt, steps, quench * float(g),
+                        bc="periodic", lb=float(x[0]), record_every=rec)
+        w2 = np.asarray(obs["width_sq"])[:, 0]
+        w, amp, rms = fit_frequency(obs["t"], w2)
+        rows.append({"gamma": float(g), "omega_fit": w,
+                     "amplitude": amp, "fit_rms": rms})
+        print(json.dumps(rows[-1]), flush=True)
+    table = {"config": f"1D breathing-mode crossover, {n} pts, quench "
+                       f"×{quench:g}, {periods:g} periods",
+             "omega_gamma0_exact": 2.0,
+             "omega_tf_exact": float(np.sqrt(3.0)),
+             "rows": rows}
+    with open(os.path.join(out_dir, "breathing_1d.json"), "w") as f:
+        json.dump(table, f, indent=1)
+    return table
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=256, help="grid side (n²)")
@@ -91,6 +143,9 @@ def main(argv=None):
     ap.add_argument("--f32", action="store_true",
                     help="complex64 path (TPU-native dtype; conservation "
                          "floors at ~1e-4 instead of 1e-12)")
+    ap.add_argument("--breathing-1d-sweep", action="store_true",
+                    help="run ONLY the 1D monopole crossover sweep "
+                         "(omega: 2 -> sqrt(3) with gamma)")
     ap.add_argument("--out", default=OUT)
     args = ap.parse_args(argv)
 
@@ -102,6 +157,11 @@ def main(argv=None):
     from gpe_tpu.dynamics import evolve, ground_state
 
     os.makedirs(args.out, exist_ok=True)
+    if args.breathing_1d_sweep:
+        with (contextlib.nullcontext() if args.f32
+              else jax.enable_x64(True)):
+            breathing_sweep_1d(args.out)
+        return 0
     n, half, gam = args.n, args.half, args.gamma
     with (contextlib.nullcontext() if args.f32 else jax.enable_x64(True)):
         x1 = np.linspace(-half, half, n, endpoint=False)
