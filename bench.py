@@ -13,6 +13,8 @@ Measures, on the flagship 2D GPE config (BASELINE.json #3: harmonic trap,
    compiled scan — exactly how train/loop.py executes epochs.
 4. bf16: the XLA eval with bf16 activations/GEMMs and f32 quadrature
    accumulations (the TPU mixed-precision contract, SURVEY.md §2.G).
+5. dynamics: the TDGPE split-step propagator (complex64, 256² periodic
+   grid) in grid-pt·steps/s — the time-dependent subsystem's throughput.
 
 Timing methodology (IMPORTANT): this image's tunnel-attached TPU backend does
 NOT synchronize in `jax.block_until_ready` — per-dispatch wall timing measures
@@ -278,6 +280,34 @@ def bench_jax():
             print(f"pallas bf16 bench tile={tile} skipped: {e}",
                   file=sys.stderr)
 
+    # 5. TDGPE split-step propagator (dynamics/split_step.py): complex64
+    #    Strang steps on a 256² periodic grid, γ=100 harmonic trap — the
+    #    time-dependent subsystem's device throughput (VERDICT r4 #1). The
+    #    evolution is inherently sequential (ψ is the scan carry), so the
+    #    K2−K1 regression needs no extra anti-hoisting plumbing.
+    dt_dyn = float("nan")
+    n_dyn = 256
+    try:
+        import numpy as np
+        from gpe_tpu.dynamics import evolve
+        xg = np.linspace(-12.0, 12.0, n_dyn, endpoint=False)
+        dxg = float(xg[1] - xg[0])
+        Xg, Yg = np.meshgrid(xg, xg, indexing="ij")
+        Vg = (0.5 * (Xg ** 2 + Yg ** 2)).astype(np.float32)
+        psi_g = np.exp(-0.5 * (Xg ** 2 + Yg ** 2)).astype(np.complex64)
+        psi_g /= np.sqrt((np.abs(psi_g) ** 2).sum() * dxg * dxg)
+
+        def dyn_scan(K):
+            def run():
+                _, obs = evolve(psi_g, Vg, dxg, 1e-3, K, 100.0,
+                                bc="periodic", lb=float(xg[0]),
+                                record_every=K)
+                return obs["norm"][-1]
+            return run
+        dt_dyn = _true_time(dyn_scan)
+    except Exception as e:
+        print(f"dynamics bench skipped: {e}", file=sys.stderr)
+
     eval_fn = jax.jit(xla_f)
     total = float(eval_fn(params, batch, gamma, scale))
     flops = _gemm_flops_per_eval(n_pts, 2)
@@ -301,6 +331,8 @@ def bench_jax():
             n_pts / dt_train_relaxed
             if dt_train_relaxed == dt_train_relaxed else None),
         "bf16_eval_pts_per_sec": n_pts / dt_eval16,
+        "dynamics_grid_pt_steps_per_sec": (n_dyn * n_dyn / dt_dyn
+                                           if dt_dyn == dt_dyn else None),
         "eval_tflops": flops / best_dt / 1e12,
         "eval_mfu": flops / best_dt / PEAK_FLOPS,
         "eval_mfu_vs_f32_peak": flops / best_dt / PEAK_FLOPS_F32,
@@ -389,6 +421,9 @@ def _worker_main():
             round(r["fused_train_step_relaxed_pts_per_sec"])
             if r.get("fused_train_step_relaxed_pts_per_sec") else None),
         "bf16_eval_pts_per_sec": round(r["bf16_eval_pts_per_sec"]),
+        "dynamics_grid_pt_steps_per_sec": (
+            round(r["dynamics_grid_pt_steps_per_sec"])
+            if r.get("dynamics_grid_pt_steps_per_sec") else None),
         "eval_tflops": round(r["eval_tflops"], 2),
         "eval_mfu": round(r["eval_mfu"], 4),
         "eval_mfu_vs_f32_peak": round(r["eval_mfu_vs_f32_peak"], 4),

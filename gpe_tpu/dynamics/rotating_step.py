@@ -25,16 +25,19 @@ stationary states (vortex states for Ω above the nucleation threshold).
 Physics oracles used by tests/test_rotating_dynamics.py:
 - **rotating-frame Kohn splitting**: rigidly displacing ANY stationary state
   of the harmonic trap sets off center-of-mass motion that decouples from
-  the internal (interacting) dynamics; at rotation Ω the COM trajectory in
-  the rotating frame is exactly
-      ⟨x⟩(t) = d/2·[(1+Ω)cos((1−Ω)t) + (1−Ω)cos((1+Ω)t)],
-      ⟨y⟩(t) = d/2·[(1+Ω)sin((1−Ω)t) − (1−Ω)sin((1+Ω)t)],
-  i.e. the dipole mode splits into ω± = ω_trap ± Ω — independent of γ, a
-  sharp nonlinear test with no fit parameters;
+  the internal (interacting) dynamics (Ehrenfest + translation invariance of
+  the γ-term). For ζ = ⟨x⟩+i⟨y⟩ the COM obeys ζ(t) = e^{−iΩt}(u₀cos t +
+  v₀sin t) with u₀ = ζ(0), v₀ = ⟨p⟩(0); a rigid displacement d (⟨p⟩ = 0)
+  gives exactly
+      ⟨x⟩(t) = d·cos(t)·cos(Ωt),   ⟨y⟩(t) = −d·cos(t)·sin(Ωt),
+  i.e. the dipole mode splits into ω± = ω_trap ± Ω with equal weights —
+  independent of γ, a sharp nonlinear test with no fit parameters;
 - exact norm conservation and conservation of the rotating-frame energy
   E[ψ] = ∫ c|∇ψ|² + V|ψ|² + (2γ/(p+1))|ψ|^(p+1) − Ω·ψ*L_zψ;
-- stationarity: the imaginary-time ground state evolves as e^{−iμt}ψ (all
-  observables frozen);
+- stationarity: the imaginary-time ground state evolves as e^{−i∫μdt}ψ with
+  symmetry observables (L_z, centers) frozen to machine precision; μ itself
+  drifts at the O(τ) bias of the imaginary-time fixed point (first order
+  verified by halving τ in tests);
 - device ↔ numpy-oracle μ/L_z agreement from identical initial states.
 
 Periodic bc only: the rotation symbols Ω·y·k_x, Ω·x·k_y are first-order in
@@ -128,8 +131,14 @@ def _evolve_rot_jit(psi0, V, xs, dt, gamma, omega, kinetic, *, dx, p, steps,
     psi, obs = lax.scan(chunk, psi0, None, length=n_rec)
     psi = lax.fori_loop(0, rem, lambda i, s: one_step(s), psi)
     obs0 = observables(psi0)
-    obs = jax.tree_util.tree_map(
-        lambda a, b: jnp.concatenate([a[None], b], 0), obs0, obs)
+    if rem:  # static: record the true final state when record_every ∤ steps
+        obs_end = observables(psi)
+        obs = jax.tree_util.tree_map(
+            lambda a, b, c: jnp.concatenate([a[None], b, c[None]], 0),
+            obs0, obs, obs_end)
+    else:
+        obs = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], 0), obs0, obs)
     return psi, obs
 
 
@@ -141,9 +150,12 @@ def evolve_rotating(psi0, V, dx: float, dt: float, steps: int, gamma: float,
     Strang ADI steps of size dt (imaginary=True: renormalized gradient flow
     toward the rotating-frame ground state — validate/rotating.py:74-82 on
     device). V: (nx, ny) real grid (same dx per axis, periodic box starting
-    at lb). Returns (psi_final, obs) with obs sampled at t=0 and after every
-    `record_every` steps: norm, rotating-frame energy and μ, ⟨L_z⟩, per-axis
-    center and width (float64 V selects the complex128 path)."""
+    at lb). Returns (psi_final, obs) with obs sampled at t=0, after every
+    `record_every` steps, and (when record_every ∤ steps) at the true final
+    time steps·dt. float64 V selects the complex128 path ONLY inside an
+    enabled-x64 context (`with jax.enable_x64(True):` — this JAX version
+    removed jax.experimental.enable_x64); otherwise f64 input is silently
+    downcast and the complex64 path runs."""
     V = jnp.asarray(V)
     if V.ndim != 2:
         raise ValueError("rotating frame is 2D: V must be (nx, ny)")
@@ -159,9 +171,11 @@ def evolve_rotating(psi0, V, dx: float, dt: float, steps: int, gamma: float,
         shape=shape)
     import numpy as np
 
-    n_rec = steps // record_every
-    obs["t"] = np.concatenate(
-        [[0.0], (np.arange(1, n_rec + 1) * record_every) * float(dt)])
+    n_rec, rem = divmod(steps, record_every)
+    t = [0.0] + list((np.arange(1, n_rec + 1) * record_every) * float(dt))
+    if rem:
+        t.append(steps * float(dt))
+    obs["t"] = np.asarray(t)
     return psi, obs
 
 

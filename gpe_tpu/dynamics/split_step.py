@@ -112,27 +112,22 @@ def axis_coords(shape: tuple, dx: float, lb: float, bc: str):
     return [np.asarray(lb + (np.arange(n) + off) * dx) for n in shape]
 
 
-@partial(jax.jit, static_argnames=("dx", "steps", "record_every",
-                                   "imaginary", "bc", "p", "shape"))
-def _evolve_jit(psi0, V, xs, dt, gamma, kinetic, *, dx, p, steps,
-                record_every, imaginary, bc, shape):
-    real_dtype = V.dtype
-    cdtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
-    psi0 = psi0.astype(cdtype)
-    dim = len(shape)
-    vol = dx ** dim
-    to_spec, from_spec, k2, grad_sq_int = _spectral_ops(
-        shape, dx, bc, real_dtype)
-    factor = jnp.asarray(-1.0 if imaginary else -1.0j, cdtype)
-    kin_prop = jnp.exp(factor * (dt * kinetic) * k2.astype(cdtype))
+def abs_pow(psi, q):
+    """|ψ|^q for static python float q: even integer exponents lower to
+    |ψ|²-powers with no sqrt."""
+    a2 = psi.real ** 2 + psi.imag ** 2
+    if q == round(q) and q >= 0 and int(q) % 2 == 0:
+        return a2 ** (int(q) // 2)
+    return a2 ** (q / 2.0)
 
-    def abs_pow(psi, q):
-        # q is a static python float (p is a compile-time constant): even
-        # integer exponents lower to |ψ|²-powers with no sqrt
-        a2 = psi.real ** 2 + psi.imag ** 2
-        if q == round(q) and q >= 0 and int(q) % 2 == 0:
-            return a2 ** (int(q) // 2)
-        return a2 ** (q / 2.0)
+
+def _evolve_core(psi0, V, xs, dt, gamma, kinetic, *, vol, p, steps,
+                 record_every, imaginary, to_spec, from_spec, kin_prop,
+                 grad_sq_int, gsum, dim, cdtype, factor):
+    """Shared Strang-splitting loop: the single-device (_evolve_jit) and the
+    mesh-sharded (sharded.py, to_spec/from_spec with all_to_all transposes
+    and `gsum` a psum-reduced global sum) paths differ ONLY in the injected
+    spectral transforms and reduction."""
 
     def one_step(psi):
         dens = V + gamma * abs_pow(psi, p - 1.0)
@@ -141,23 +136,23 @@ def _evolve_jit(psi0, V, xs, dt, gamma, kinetic, *, dx, p, steps,
         dens = V + gamma * abs_pow(psi, p - 1.0)
         psi = psi * jnp.exp((0.5 * dt * factor) * dens.astype(cdtype))
         if imaginary:
-            nrm = jnp.sqrt(jnp.sum(psi.real ** 2 + psi.imag ** 2) * vol)
+            nrm = jnp.sqrt(gsum(psi.real ** 2 + psi.imag ** 2) * vol)
             psi = psi / nrm.astype(cdtype)
         return psi
 
     def observables(psi):
         a2 = psi.real ** 2 + psi.imag ** 2
-        norm = jnp.sum(a2) * vol
+        norm = gsum(a2) * vol
         ke = kinetic * grad_sq_int(to_spec(psi))
-        pe = jnp.sum(V * a2) * vol
-        inter = jnp.sum(abs_pow(psi, p + 1.0)) * vol
+        pe = gsum(V * a2) * vol
+        inter = gsum(abs_pow(psi, p + 1.0)) * vol
         energy = (ke + pe + (2.0 * gamma / (p + 1.0)) * inter) / norm
         mu = (ke + pe + gamma * inter) / norm
         centers, widths = [], []
         for ax in range(dim):
             xa = _axis_view(xs[ax], ax, dim)
-            c = jnp.sum(xa * a2) * vol / norm
-            w2 = jnp.sum(xa * xa * a2) * vol / norm - c * c
+            c = gsum(xa * a2) * vol / norm
+            w2 = gsum(xa * xa * a2) * vol / norm - c * c
             centers.append(c)
             widths.append(w2)
         return {"norm": norm, "energy": energy, "mu": mu,
@@ -172,8 +167,51 @@ def _evolve_jit(psi0, V, xs, dt, gamma, kinetic, *, dx, p, steps,
     psi, obs = lax.scan(chunk, psi0, None, length=n_rec)
     psi = lax.fori_loop(0, rem, lambda i, s: one_step(s), psi)
     obs0 = observables(psi0)
-    obs = jax.tree_util.tree_map(
-        lambda a, b: jnp.concatenate([a[None], b], 0), obs0, obs)
+    if rem:  # static: record the true final state when record_every ∤ steps
+        obs_end = observables(psi)
+        obs = jax.tree_util.tree_map(
+            lambda a, b, c: jnp.concatenate([a[None], b, c[None]], 0),
+            obs0, obs, obs_end)
+    else:
+        obs = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], 0), obs0, obs)
+    return psi, obs
+
+
+@partial(jax.jit, static_argnames=("dx", "steps", "record_every",
+                                   "imaginary", "bc", "p", "shape"))
+def _evolve_jit(psi0, V, xs, dt, gamma, kinetic, *, dx, p, steps,
+                record_every, imaginary, bc, shape):
+    real_dtype = V.dtype
+    cdtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
+    psi0 = psi0.astype(cdtype)
+    dim = len(shape)
+    vol = dx ** dim
+    to_spec, from_spec, k2, grad_sq_int = _spectral_ops(
+        shape, dx, bc, real_dtype)
+    factor = jnp.asarray(-1.0 if imaginary else -1.0j, cdtype)
+    kin_prop = jnp.exp(factor * (dt * kinetic) * k2.astype(cdtype))
+    return _evolve_core(
+        psi0, V, xs, dt, gamma, kinetic, vol=vol, p=p, steps=steps,
+        record_every=record_every, imaginary=imaginary, to_spec=to_spec,
+        from_spec=from_spec, kin_prop=kin_prop, grad_sq_int=grad_sq_int,
+        gsum=jnp.sum, dim=dim, cdtype=cdtype, factor=factor)
+
+    def chunk(psi, _):
+        psi = lax.fori_loop(0, record_every, lambda i, s: one_step(s), psi)
+        return psi, observables(psi)
+
+    psi, obs = lax.scan(chunk, psi0, None, length=n_rec)
+    psi = lax.fori_loop(0, rem, lambda i, s: one_step(s), psi)
+    obs0 = observables(psi0)
+    if rem:  # static: record the true final state when record_every ∤ steps
+        obs_end = observables(psi)
+        obs = jax.tree_util.tree_map(
+            lambda a, b, c: jnp.concatenate([a[None], b, c[None]], 0),
+            obs0, obs, obs_end)
+    else:
+        obs = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], 0), obs0, obs)
     return psi, obs
 
 
@@ -186,9 +224,11 @@ def evolve(psi0, V, dx: float, dt: float, steps: int, gamma: float,
     validate/imaginary_time.imaginary_time_gpe:117-123, on device).
 
     V: (n,)/(nx,ny)/(nx,ny,nz) real grid sampling (same dx per axis; float64
-    input selects the complex128 path — enable x64 for conservation tests).
+    input selects the complex128 path ONLY inside `with jax.enable_x64(True):`
+    — without it f64 arrays are silently downcast to the complex64 path).
     Returns (psi_final, obs): obs holds "t" plus norm/energy/mu/center/
-    width_sq sampled at t=0 and after every `record_every` steps.
+    width_sq sampled at t=0, after every `record_every` steps, and (when
+    record_every ∤ steps) at the true final time steps·dt.
     """
     V = jnp.asarray(V)
     shape = tuple(V.shape)
@@ -203,9 +243,11 @@ def evolve(psi0, V, dx: float, dt: float, steps: int, gamma: float,
         imaginary=bool(imaginary), bc=bc, shape=shape)
     import numpy as np
 
-    n_rec = steps // record_every
-    obs["t"] = np.concatenate(
-        [[0.0], (np.arange(1, n_rec + 1) * record_every) * float(dt)])
+    n_rec, rem = divmod(steps, record_every)
+    t = [0.0] + list((np.arange(1, n_rec + 1) * record_every) * float(dt))
+    if rem:
+        t.append(steps * float(dt))
+    obs["t"] = np.asarray(t)
     return psi, obs
 
 

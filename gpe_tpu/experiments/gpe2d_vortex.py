@@ -30,6 +30,9 @@ def main(argv=None):
     ap.add_argument("--init-scheme", default="siren")
     ap.add_argument("--w0", type=float, default=3.0)
     ap.add_argument("--no-sobolev", action="store_true")
+    ap.add_argument("--no-config-cache", action="store_true",
+                    help="ignore config_oracle_cache.npz and rebuild the "
+                         "oracle at --n (the pre-round-5 mixed-config row)")
     ap.add_argument("--out", default="runs/gpe2d_vortex")
     args = ap.parse_args(argv)
 
@@ -49,11 +52,37 @@ def main(argv=None):
                             activation=args.activation,
                             init_scheme=args.init_scheme, w0=args.w0,
                             gamma=args.gamma, omega=omega)
+        # Ω=0.9 is multi-stable (n=128 lands on the superseded 9-vortex
+        # state; grid convergence selects 7 vortices at n≥192 with lower
+        # energy — config_oracle_table.json). Distill from the CONVERGED
+        # lowest-energy configuration's finest cached oracle ψ instead of
+        # rebuilding a fresh n=128 oracle (VERDICT r4 #3).
+        target, target_src = None, None
+        cache_path = os.path.join(args.out, "config_oracle_cache.npz")
+        table_path = os.path.join(args.out, "config_oracle_table.json")
+        if (not args.no_config_cache and omega == 0.9 and args.gamma == 50.0
+                and os.path.exists(cache_path) and os.path.exists(table_path)):
+            from gpe_tpu.validate.rotating import regrid_psi
+            with open(table_path) as f:
+                table = json.load(f)
+            cache = np.load(cache_path)
+            name = min(table, key=lambda k: table[k]["E_star"])
+            psi_o = cache[f"{name}_psi_re"] + 1j * cache[f"{name}_psi_im"]
+            x_dst = np.linspace(spec.lb, spec.ub, args.n)
+            target = (regrid_psi(psi_o, cache[f"{name}_x"], x_dst),
+                      float(cache[f"{name}_mu"]), float(cache[f"{name}_lz"]))
+            target_src = {"config": name,
+                          "oracle_n": int(cache[f"{name}_x"].shape[0]),
+                          "mu_star": target[1],
+                          "E_star": table[name]["E_star"]}
+            print(f"omega=0.9: distilling from cached {name} oracle "
+                  f"(n={target_src['oracle_n']}, mu*={target[1]:.6f})",
+                  flush=True)
         t1 = time.time()
         res = train_rotating_vortex(spec, fit_epochs=args.fit_epochs,
                                     lbfgs_steps=args.lbfgs_steps,
                                     polish_steps=args.polish_steps,
-                                    polish_cg_iters=100,
+                                    polish_cg_iters=100, target=target,
                                     sobolev=not args.no_sobolev,
                                     sobolev_n=128, verbose=True)
         row = {"omega": omega, "mu_net": res.mu, "mu_grid": res.mu_grid,
@@ -61,6 +90,8 @@ def main(argv=None):
                "lz_grid": res.lz_grid, "n_vortices": res.n_vortices,
                "pde_loss": res.pde_loss, "fit_mse": res.fit_mse,
                "wall_s": round(time.time() - t1, 1)}
+        if target_src is not None:
+            row["oracle_source"] = target_src
         results.append(row)
         print(json.dumps(row), flush=True)
 

@@ -128,10 +128,35 @@ def breathing_sweep_1d(out_dir, gammas=(0.0, 1.0, 5.0, 20.0, 100.0, 500.0),
     return table
 
 
+def timed_throughput(evolve_call, n_pts: int, steps: int):
+    """Honest device throughput for a compiled evolution scan: the K2−K1
+    regression of two scan lengths, each warmed once (compile excluded), each
+    ending in a forced scalar fetch — dispatch/fetch latency cancels in the
+    difference (this backend does not synchronize in block_until_ready,
+    CLAUDE.md / bench.py timing-integrity note)."""
+    import numpy as np
+
+    k1, k2 = max(steps // 4, 1), steps
+
+    def run(k):
+        _, obs = evolve_call(k)
+        return float(np.asarray(obs["norm"])[-1])
+
+    run(k1), run(k2)                       # compile both scan lengths
+    t0 = time.time(); run(k1); t1 = time.time() - t0
+    t0 = time.time(); run(k2); t2 = time.time() - t0
+    dt_step = max((t2 - t1) / (k2 - k1), 1e-12)
+    return n_pts / dt_step
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=256, help="grid side (n²)")
+    ap.add_argument("--n", type=int, default=256, help="grid side (n^dims)")
     ap.add_argument("--half", type=float, default=12.0)
+    ap.add_argument("--dims", type=int, default=2, choices=(2, 3),
+                    help="3: 3D Kohn dipole + monopole quench (the monopole "
+                         "has no hidden symmetry in 3D — reported between "
+                         "its exact limits 2 (γ=0) and √5 (TF))")
     ap.add_argument("--gamma", type=float, default=100.0)
     ap.add_argument("--displace", type=float, default=0.5)
     ap.add_argument("--quench", type=float, default=1.3,
@@ -147,6 +172,11 @@ def main(argv=None):
                     help="run ONLY the 1D monopole crossover sweep "
                          "(omega: 2 -> sqrt(3) with gamma)")
     ap.add_argument("--out", default=OUT)
+    ap.add_argument("--out-name", default=None,
+                    help="summary filename (default summary[_3d].json, or "
+                         "summary_tpu[_3d].json when --f32 runs on a device "
+                         "backend); device artifacts embed the committed f64 "
+                         "summary of the SAME dims for comparison")
     args = ap.parse_args(argv)
 
     import contextlib
@@ -162,12 +192,16 @@ def main(argv=None):
               else jax.enable_x64(True)):
             breathing_sweep_1d(args.out)
         return 0
-    n, half, gam = args.n, args.half, args.gamma
+    n, half, gam, dim = args.n, args.half, args.gamma, args.dims
+    backend = jax.devices()[0].platform
+    n_pts = n ** dim
     with (contextlib.nullcontext() if args.f32 else jax.enable_x64(True)):
         x1 = np.linspace(-half, half, n, endpoint=False)
         dx = float(x1[1] - x1[0])
-        X, Y = np.meshgrid(x1, x1, indexing="ij")
-        V = 0.5 * (X ** 2 + Y ** 2)
+        grids = np.meshgrid(*([x1] * dim), indexing="ij")
+        X = grids[0]
+        r2_rest = sum(g ** 2 for g in grids[1:])
+        V = 0.5 * (X ** 2 + r2_rest)
         t_end = args.periods * 2.0 * np.pi
         dt = t_end / args.steps
         rec = max(1, args.steps // 400)
@@ -175,7 +209,7 @@ def main(argv=None):
         # --- Kohn dipole: γ ground state in the displaced trap, released ---
         t0 = time.time()
         d = args.displace
-        mu0, psi_d = ground_state(0.5 * ((X - d) ** 2 + Y ** 2), dx, gam,
+        mu0, psi_d = ground_state(0.5 * ((X - d) ** 2 + r2_rest), dx, gam,
                                   tau=2e-3, steps=args.gs_steps, tol=1e-12)
         wall_gs = time.time() - t0
         t0 = time.time()
@@ -188,7 +222,7 @@ def main(argv=None):
         cx = np.asarray(obs_k["center"])[:, 0]
         w_dip, amp_dip, rms_dip = fit_frequency(obs_k["t"], cx)
 
-        # --- 2D breathing: interaction quench γ → λγ from the γ GS ---
+        # --- breathing/monopole: interaction quench γ → λγ from the γ GS ---
         mu_c, psi_c = ground_state(V, dx, gam, tau=2e-3,
                                    steps=args.gs_steps, tol=1e-12,
                                    psi0=np.abs(np.asarray(psi_d)))
@@ -198,10 +232,34 @@ def main(argv=None):
         w2 = np.asarray(obs_b["width_sq"]).sum(1)       # ⟨r²⟩ monopole
         w_br, amp_br, rms_br = fit_frequency(obs_b["t"], w2)
 
+        if dim == 2:
+            # hidden SO(2,1) symmetry (Pitaevskii–Rosch): EXACTLY 2ω at any γ
+            breathing = {"omega_fit": w_br, "omega_exact": 2.0,
+                         "abs_err": abs(w_br - 2.0)}
+        else:
+            # 3D has no hidden symmetry: exact only in the two limits —
+            # 2ω at γ=0, √5·ω in the TF/hydrodynamic limit (Stringari '96)
+            breathing = {"omega_fit": w_br,
+                         "omega_limits_gamma0_tf": [2.0, float(np.sqrt(5.0))],
+                         "in_limits": bool(2.0 - 0.02 <= w_br
+                                           <= np.sqrt(5.0) + 0.02)}
+        breathing.update({"quench_factor": args.quench,
+                          "amplitude_fit": amp_br, "fit_rms": rms_br})
+
+        # device throughput: compile-excluded K2−K1 regression on device
+        # backends; the CPU wall clock is already synchronous
+        if backend != "cpu":
+            thr = timed_throughput(
+                lambda k: evolve(np.asarray(psi_c), V, dx, dt, k, gam,
+                                 bc="periodic", lb=float(x1[0]),
+                                 record_every=k), n_pts, args.steps)
+        else:
+            thr = n_pts * args.steps / wall_k
+
         e_b = np.asarray(obs_b["energy"])
         summary = {
-            "config": f"2D TDGPE quench dynamics: {n}² grid, γ={gam:g}, "
-                      f"dt={dt:.2e}, {args.steps} Strang steps "
+            "config": f"{dim}D TDGPE quench dynamics: {n}^{dim} grid, "
+                      f"γ={gam:g}, dt={dt:.2e}, {args.steps} Strang steps "
                       f"({args.periods:g} trap periods)",
             "mu_ground": float(mu_c),
             "kohn_dipole": {
@@ -210,23 +268,45 @@ def main(argv=None):
                 "amplitude_fit": amp_dip, "displacement": d,
                 "fit_rms": rms_dip,
             },
-            "breathing_2d": {
-                "omega_fit": w_br, "omega_exact": 2.0,
-                "abs_err": abs(w_br - 2.0),
-                "quench_factor": args.quench, "amplitude_fit": amp_br,
-                "fit_rms": rms_br,
-            },
-            "backend": jax.devices()[0].platform,
+            f"breathing_{dim}d": breathing,
+            "backend": backend,
             "dtype": "complex64" if args.f32 else "complex128",
             "norm_drift": float(np.max(np.abs(norm_k - 1.0))),
             "energy_drift_rel": float(np.max(np.abs(e_b / e_b[0] - 1.0))),
-            "throughput_grid_pt_steps_per_sec": float(
-                n * n * args.steps / wall_k),
+            "throughput_grid_pt_steps_per_sec": float(thr),
             "wall_ground_state_s": round(wall_gs, 1),
             "wall_evolve_s": round(wall_k, 1),
         }
+
+    suffix = "" if dim == 2 else f"_{dim}d"
+    on_device = args.f32 and backend != "cpu"
+    out_name = args.out_name or (
+        f"summary_tpu{suffix}.json" if on_device else f"summary{suffix}.json")
+    # embed the committed f64 CPU oracle values so the f32/TPU artifact
+    # carries its own accuracy-vs-f64 bounds (VERDICT r4 #1)
+    ref_path = os.path.join(args.out, f"summary{suffix}.json")
+    if out_name != f"summary{suffix}.json" and os.path.exists(ref_path):
+        try:
+            with open(ref_path) as f:
+                ref = json.load(f)
+            if (ref.get("dtype") == "complex128"
+                    and ref.get("config", "").startswith(f"{dim}D")):
+                cmp = {"f64_config": ref.get("config"),
+                       "kohn_omega_f64": ref["kohn_dipole"]["omega_fit"]}
+                if f"breathing_{dim}d" in ref:
+                    cmp["breathing_omega_f64"] = \
+                        ref[f"breathing_{dim}d"]["omega_fit"]
+                    cmp["breathing_omega_delta"] = abs(
+                        w_br - ref[f"breathing_{dim}d"]["omega_fit"])
+                cmp["kohn_omega_delta"] = abs(
+                    w_dip - ref["kohn_dipole"]["omega_fit"])
+                cmp["mu_ground_delta"] = abs(
+                    float(mu_c) - ref.get("mu_ground", float(mu_c)))
+                summary["vs_f64_reference"] = cmp
+        except Exception as e:
+            print(f"f64 reference embed skipped: {e}")
     print(json.dumps(summary, indent=1), flush=True)
-    with open(os.path.join(args.out, "summary.json"), "w") as f:
+    with open(os.path.join(args.out, out_name), "w") as f:
         json.dump(summary, f, indent=1)
 
     try:                                   # plots must never fail a run

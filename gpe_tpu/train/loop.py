@@ -241,7 +241,7 @@ def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
                  tol: float = 1e-5, patience: int = 2000,
                  check_every: int = 512,
                  value_and_grad_fn: Callable = None,
-                 mesh=None) -> EnsembleFitResult:
+                 mesh=None, per_run_batch: dict = None) -> EnsembleFitResult:
     """vmapped multi-run training — R seeds (or modes) advance in ONE compiled
     program, turning the reference's sequential 5-seed loop
     (plot_box_potential_at_ground_state_multiple_runs.py:987-1053) into a
@@ -259,6 +259,10 @@ def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
     (the batch replicates), and XLA partitions the vmapped scan with no
     cross-run communication — embarrassingly linear scaling over ICI.
     R should be a multiple of the mesh size.
+    per_run_batch: optional {key: (R, …) array} batch entries that VARY per
+    run (vmapped alongside params; overrides same-named shared `batch`
+    entries) — e.g. each seed's own rebased perturbation base in the
+    PL-PINN-R seed ensemble (experiments/seed_stats.py).
     """
     gamma = jnp.asarray(gamma, jnp.float32)
     scale = jnp.asarray(scale, jnp.float32)
@@ -275,25 +279,33 @@ def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
         params_batch = shard_ensemble(params_batch, mesh, axis)
         scale = shard_ensemble(scale, mesh, axis)
         gamma = shard_ensemble(gamma, mesh, axis)
+    prb = {k: jnp.asarray(v) for k, v in (per_run_batch or {}).items()}
+    if mesh is not None and prb:
+        from gpe_tpu.parallel.mesh import shard_ensemble
+        prb = shard_ensemble(prb, mesh, mesh.axis_names[0])
+
+    def _merged(be):
+        return {**batch, **be} if be else batch
+
     if value_and_grad_fn is not None and getattr(value_and_grad_fn,
                                                  "stateful", False):
-        vs = jax.vmap(lambda p, g, s: value_and_grad_fn.init_state(
-            p, batch, g, s))(params_batch, gamma, scale)
+        vs = jax.vmap(lambda p, g, s, be: value_and_grad_fn.init_state(
+            p, _merged(be), g, s))(params_batch, gamma, scale, prb)
         carry = jax.vmap(lambda p, v: _init_carry(optimizer, p, epochs, v))(
             params_batch, vs)
     else:
         carry = jax.vmap(lambda p: _init_carry(optimizer, p, epochs))(params_batch)
 
     run_chunk = jax.vmap(
-        lambda c, g, s: _run_chunk(loss_fn, optimizer, c, batch, g, s,
-                                   check_every, tol, patience, None, epochs,
-                                   value_and_grad_fn))
+        lambda c, g, s, be: _run_chunk(loss_fn, optimizer, c, _merged(be),
+                                       g, s, check_every, tol, patience,
+                                       None, epochs, value_and_grad_fn))
 
     losses, mus = [], []
     steps_done = 0
     while steps_done < epochs:
         n = min(check_every, epochs - steps_done)
-        carry, (l_hist, mu_hist) = run_chunk(carry, gamma, scale)
+        carry, (l_hist, mu_hist) = run_chunk(carry, gamma, scale, prb)
         losses.append(np.asarray(l_hist[:, :n]))
         mus.append(np.asarray(mu_hist[:, :n]))
         steps_done += n
@@ -305,8 +317,9 @@ def fit_ensemble(loss_fn: Callable, optimizer: optax.GradientTransformation,
     stop = np.asarray(carry.stop_epoch)
     done = np.asarray(carry.done)
     epochs_run = np.where(done, np.minimum(stop, epochs), steps_done)
-    _, aux_best = jax.vmap(lambda p, g, s: _jit_eval(loss_fn)(p, batch, g, s))(
-        carry.best_params, gamma, scale)
+    _, aux_best = jax.vmap(
+        lambda p, g, s, be: _jit_eval(loss_fn)(p, _merged(be), g, s))(
+        carry.best_params, gamma, scale, prb)
     return EnsembleFitResult(
         params=carry.best_params,
         final_params=carry.params,

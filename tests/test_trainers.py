@@ -61,6 +61,33 @@ def test_fit_ensemble_matches_individual_runs():
     assert np.all(np.isfinite(ens.mu))
 
 
+def test_fit_ensemble_per_run_batch():
+    # per_run_batch entries override shared batch keys PER RUN: replicating
+    # the shared base must reproduce the shared-batch run exactly, and a
+    # per-run-scaled base must change (only) that run's trajectory
+    spec = GPESpec(**SMALL, use_perturbation=True)
+    batch = make_batch(spec, 0)
+    loss_fn = make_loss_fn(spec)
+    params_list = [mlp.init_mlp(jax.random.PRNGKey(s), spec.layers)
+                   for s in (0, 1)]
+    pb = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+    opt = make_optimizer("adam", 1e-3, clip_norm=1.0)
+    kw = dict(epochs=60, tol=0.0, patience=10**9, check_every=60)
+    ref = fit_ensemble(loss_fn, opt, pb, batch, 0.0, 0.01, **kw)
+    keys = [k for k in ("base_val", "base_grad", "base_lap", "base_bval")
+            if k in batch]
+    prb = {k: jnp.stack([batch[k]] * 2) for k in keys}
+    same = fit_ensemble(loss_fn, opt, pb, batch, 0.0, 0.01,
+                        per_run_batch=prb, **kw)
+    np.testing.assert_allclose(same.loss_history, ref.loss_history, rtol=1e-6)
+    prb2 = {k: jnp.stack([batch[k], 1.02 * batch[k]]) for k in keys}
+    diff = fit_ensemble(loss_fn, opt, pb, batch, 0.0, 0.01,
+                        per_run_batch=prb2, **kw)
+    np.testing.assert_allclose(diff.loss_history[0], ref.loss_history[0],
+                               rtol=1e-6)          # run 0: unchanged base
+    assert not np.allclose(diff.loss_history[1], ref.loss_history[1])
+
+
 @pytest.mark.slow
 def test_multirun_statistics():
     spec = GPESpec(**SMALL)
