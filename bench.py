@@ -463,11 +463,23 @@ def _tunnel_ports_up() -> bool:
 
 
 def _probe_once(timeout_s: int = 540) -> bool:
+    """Probe in its OWN process group with no pipes: a wedged claim can hang
+    past subprocess.run's timeout (the child kill leaves pipe-holding
+    descendants and communicate() blocks forever — observed 2026-08-20, two
+    probes hung 12-17 min past a 540 s timeout). killpg + DEVNULL makes the
+    timeout unconditional."""
+    import signal
+    p = subprocess.Popen([sys.executable, "-c", PROBE_SRC], cwd=REPO,
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL, start_new_session=True)
     try:
-        r = subprocess.run([sys.executable, "-c", PROBE_SRC], cwd=REPO,
-                           capture_output=True, timeout=timeout_s)
-        return r.returncode == 0
+        return p.wait(timeout=timeout_s) == 0
     except subprocess.TimeoutExpired:
+        try:
+            os.killpg(p.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        p.wait()
         return False
 
 

@@ -26,12 +26,28 @@ PROBE_SRC = (
 
 
 def probe_once(timeout_s: int = 540) -> bool:
-    try:
-        r = subprocess.run([sys.executable, "-c", PROBE_SRC], cwd="/root/repo",
-                           capture_output=True, text=True, timeout=timeout_s)
-        return r.returncode == 0 and "probe-ok" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    """Own process group, stdout to a temp file (no pipes): a wedged claim
+    can hang past subprocess.run's timeout — the child kill leaves
+    pipe-holding descendants and communicate() blocks forever (observed
+    2026-08-20). killpg makes the timeout unconditional."""
+    import signal
+    import tempfile
+    with tempfile.TemporaryFile() as out:
+        p = subprocess.Popen([sys.executable, "-c", PROBE_SRC],
+                             cwd="/root/repo", stdout=out,
+                             stderr=subprocess.DEVNULL,
+                             start_new_session=True)
+        try:
+            rc = p.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+            p.wait()
+            return False
+        out.seek(0)
+        return rc == 0 and b"probe-ok" in out.read()
 
 
 def wait_for_tpu(status, max_wait_s: int = 3600) -> bool:
@@ -52,11 +68,21 @@ def run_stage(stage, status) -> int:
     log = stage.get("log", f"/tmp/queue_{name}.log")
     t0 = time.time()
     with open(log, "w") as lf:
+        # own process group: on timeout kill the WHOLE group, not just the
+        # direct child — a surviving grandchild (e.g. a bench worker) would
+        # keep holding the single chip and wedge every later stage
+        import signal
+        p = subprocess.Popen(cmd, cwd="/root/repo", stdout=lf,
+                             stderr=subprocess.STDOUT,
+                             start_new_session=True)
         try:
-            r = subprocess.run(cmd, cwd="/root/repo", stdout=lf,
-                               stderr=subprocess.STDOUT, timeout=cap)
-            rc = r.returncode
+            rc = p.wait(timeout=cap)
         except subprocess.TimeoutExpired:
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+            p.wait()
             rc = -9
     status.write(json.dumps({"stage": name, "rc": rc,
                              "wall_s": round(time.time() - t0, 1),

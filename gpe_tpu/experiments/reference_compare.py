@@ -88,8 +88,26 @@ def _load_flags(runs_root: str) -> dict:
     return flags
 
 
+def _load_seed_stats(runs_root: str, fam: str) -> dict:
+    """(mode_str, short_method) -> {cell_median, cell_std, n} from the
+    multi-seed run (experiments/seed_stats.py), when committed."""
+    path = os.path.join(runs_root, f"seed_stats_{fam}.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        data = json.load(f)
+    out = {}
+    for mode, per in data.get("modes", {}).items():
+        for meth_long, key in (("PL-PINN", "PL"), ("PL-PINN-R", "PL-R")):
+            if meth_long in per:
+                out[(mode, key)] = {**per[meth_long],
+                                    "n": data.get("n_seeds")}
+    return out
+
+
 def build_table(runs_root: str = "runs") -> str:
     flags = _load_flags(runs_root)
+    seeded_families = []
     lines = [
         "# Parity vs the reference's published comparison tables",
         "",
@@ -111,6 +129,9 @@ def build_table(runs_root: str = "runs") -> str:
                                  "paper_style_results.csv"), REF_METHODS)
         if not ours:
             continue
+        sstats = _load_seed_stats(runs_root, fam)
+        if sstats:
+            seeded_families.append(fam)
         modes = sorted({m for m, _ in ours}, key=lambda s: int(s.split()[-1]))
         for mode in modes:
             g = lambda d, meth, i=0: (d.get((mode, meth)) or (None, None))[i]
@@ -120,9 +141,16 @@ def build_table(runs_root: str = "runs") -> str:
                 mark = "†" if (fam, mnum, meth) in flags else ""
                 return fmt(g(ref, meth)) + mark
 
+            def our_pl_cell(meth):
+                """single-seed (42) cell + across-seed std when committed."""
+                base = fmt(g(ours, meth))
+                ss = sstats.get((mnum, meth))
+                return base if ss is None else \
+                    f"{base} ±{ss['cell_std']:.0e}"
+
             lines.append(
-                f"| {fam} | {mnum} | {fmt(g(ours,'PL'))} | "
-                f"{fmt(g(ours,'PL-R'))} | {fmt(g(ours,'PL+LM'))} | "
+                f"| {fam} | {mnum} | {our_pl_cell('PL')} | "
+                f"{our_pl_cell('PL-R')} | {fmt(g(ours,'PL+LM'))} | "
                 f"{fmt(g(ours,'PL-R+LM'))} | "
                 f"{fmt(g(ref,'PL'))} | {fmt(g(ours,'Curriculum'))} | "
                 f"{ref_cell('Curriculum')} | {fmt(g(ours,'Vanilla'))} | "
@@ -157,6 +185,17 @@ def build_table(runs_root: str = "runs") -> str:
                 "harder Δγ=0.5 ramp the main table uses, and the published "
                 "2.50e-3 (runs/comparison_results_p3_gravity_well/ramp025/).",
             ]
+    if seeded_families:
+        lines += [
+            "",
+            "± columns (families: " + ", ".join(seeded_families) + "): "
+            "across-seed std of the per-seed mean-over-γ |Δμ| from the "
+            "multi-seed ensembles (runs/seed_stats_*.json, "
+            "experiments/seed_stats.py — ≥6 seeds vs the reference's 5-seed "
+            "median±std protocol, "
+            "plot_box_potential_at_ground_state_multiple_runs.py:987-1055); "
+            "the point value remains the committed seed-42 run.",
+        ]
     lines += [
         "",
         "γ=0 analytic anchor (both sides vs the closed-form linear "
