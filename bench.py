@@ -13,8 +13,9 @@ Measures, on the flagship 2D GPE config (BASELINE.json #3: harmonic trap,
    compiled scan — exactly how train/loop.py executes epochs.
 4. bf16: the XLA eval with bf16 activations/GEMMs and f32 quadrature
    accumulations (the TPU mixed-precision contract, SURVEY.md §2.G).
-5. dynamics: the TDGPE split-step propagator (complex64, 256² periodic
-   grid) in grid-pt·steps/s — the time-dependent subsystem's throughput.
+5. dynamics: the TDGPE propagator on the GEMM engine (dynamics/gemm_step —
+   this backend lowers no complex ops, so the kinetic factor rides the MXU
+   as dense per-axis propagator matmuls), 256² grid, grid-pt·steps/s.
 
 Timing methodology (IMPORTANT): this image's tunnel-attached TPU backend does
 NOT synchronize in `jax.block_until_ready` — per-dispatch wall timing measures
@@ -280,16 +281,20 @@ def bench_jax():
             print(f"pallas bf16 bench tile={tile} skipped: {e}",
                   file=sys.stderr)
 
-    # 5. TDGPE split-step propagator (dynamics/split_step.py): complex64
-    #    Strang steps on a 256² periodic grid, γ=100 harmonic trap — the
-    #    time-dependent subsystem's device throughput (VERDICT r4 #1). The
-    #    evolution is inherently sequential (ψ is the scan carry), so the
-    #    K2−K1 regression needs no extra anti-hoisting plumbing.
+    eval_fn = jax.jit(xla_f)
+    total = float(eval_fn(params, batch, gamma, scale))
+
+    # 5. TDGPE propagator on the GEMM engine (dynamics/gemm_step.py — this
+    #    backend has no complex lowering, so the kinetic Strang factor rides
+    #    the MXU as per-axis dense propagator matmuls): 256² grid, γ=100
+    #    harmonic trap, grid-pt·steps/s (VERDICT r4 #1). The evolution is
+    #    inherently sequential (ψ is the scan carry) — no anti-hoisting
+    #    plumbing needed.
     dt_dyn = float("nan")
     n_dyn = 256
     try:
         import numpy as np
-        from gpe_tpu.dynamics import evolve
+        from gpe_tpu.dynamics import evolve_gemm
         xg = np.linspace(-12.0, 12.0, n_dyn, endpoint=False)
         dxg = float(xg[1] - xg[0])
         Xg, Yg = np.meshgrid(xg, xg, indexing="ij")
@@ -299,17 +304,15 @@ def bench_jax():
 
         def dyn_scan(K):
             def run():
-                _, obs = evolve(psi_g, Vg, dxg, 1e-3, K, 100.0,
-                                bc="periodic", lb=float(xg[0]),
-                                record_every=K)
+                _, obs = evolve_gemm(psi_g, Vg, dxg, 1e-3, K, 100.0,
+                                     bc="periodic", lb=float(xg[0]),
+                                     record_every=K)
                 return obs["norm"][-1]
             return run
         dt_dyn = _true_time(dyn_scan)
     except Exception as e:
         print(f"dynamics bench skipped: {e}", file=sys.stderr)
 
-    eval_fn = jax.jit(xla_f)
-    total = float(eval_fn(params, batch, gamma, scale))
     flops = _gemm_flops_per_eval(n_pts, 2)
     best_dt = min(dt_pallas, dt_eval) if dt_pallas == dt_pallas else dt_eval
     best_dt = min(best_dt, dt_pallas16) if dt_pallas16 == dt_pallas16 \

@@ -195,6 +195,12 @@ def main(argv=None):
     n, half, gam, dim = args.n, args.half, args.gamma, args.dims
     backend = jax.devices()[0].platform
     n_pts = n ** dim
+    if backend != "cpu":
+        # this TPU backend has NO complex lowering (jnp.fft AND complex64
+        # arithmetic raise UNIMPLEMENTED) — route through the MXU GEMM
+        # engine (dynamics/gemm_step.py, parity-tested vs the FFT engine)
+        from gpe_tpu.dynamics import evolve_gemm as evolve
+        from gpe_tpu.dynamics import ground_state_gemm as ground_state
     with (contextlib.nullcontext() if args.f32 else jax.enable_x64(True)):
         x1 = np.linspace(-half, half, n, endpoint=False)
         dx = float(x1[1] - x1[0])
