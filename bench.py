@@ -465,7 +465,7 @@ def _tunnel_ports_up() -> bool:
     return bool(re.search(r":8[01]\d\d\b", out))
 
 
-def _probe_once(timeout_s: int = 540) -> bool:
+def _probe_once(timeout_s: int = 780) -> bool:
     """Probe in its OWN process group with no pipes: a wedged claim can hang
     past subprocess.run's timeout (the child kill leaves pipe-holding
     descendants and communicate() blocks forever — observed 2026-08-20, two

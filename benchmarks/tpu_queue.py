@@ -25,7 +25,7 @@ PROBE_SRC = (
 )
 
 
-def probe_once(timeout_s: int = 540) -> bool:
+def probe_once(timeout_s: int = 780) -> bool:
     """Own process group, stdout to a temp file (no pipes): a wedged claim
     can hang past subprocess.run's timeout — the child kill leaves
     pipe-holding descendants and communicate() blocks forever (observed
