@@ -119,10 +119,22 @@ def main(argv=None):
         except Exception as e:
             print(f"plotting failed: {e}")
 
+    # merge with the committed summary: a targeted re-run (e.g. --omegas 0.9
+    # re-distilling from the converged cached oracle) must not drop the
+    # other Ω rows from the flagship table
+    sum_path = os.path.join(args.out, "summary.json")
+    if os.path.exists(sum_path):
+        with open(sum_path) as f:
+            prev = json.load(f)
+        if prev.get("gamma") == args.gamma:
+            fresh = {r["omega"] for r in results}
+            results = sorted(
+                [r for r in prev.get("results", []) if r["omega"] not in fresh]
+                + results, key=lambda r: r["omega"])
     summary = {"config": "BASELINE#5 rotating-frame vortex states",
                "gamma": args.gamma, "results": results,
                "total_wall_s": round(time.time() - t0, 1)}
-    with open(os.path.join(args.out, "summary.json"), "w") as f:
+    with open(sum_path, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps({"summary": "written", "wall_s": summary["total_wall_s"]}))
     return 0

@@ -209,13 +209,21 @@ def main(argv=None):
 
     gmax = float(args.gammas[-1])
     mu_final = rows[-1]["mu"]
-    # ψ target only (μ comes from the main oracle): no Richardson — the
-    # O(τ) μ bias barely moves ψ at the 1e-3 L2 comparison scale
-    _, psi_ref_train, _ = _oracle(
-        args.gammas, args.n, spec.lb, spec.ub,
-        os.path.join(args.out, "oracle_cache_traingrid.npz"),
-        confirm_n=None, richardson=0, rich_final=0)
+    # ψ reference: the GRID-CONVERGED Richardson-2 oracle ψ (oracle-n³),
+    # cubic-regridded onto the training grid. Round 4 scored against a fresh
+    # richardson=0 train-grid oracle instead — but that reference is itself
+    # 1.5e-3 L2 (3.6e-3 in μ) away from the converged oracle at 36³/τ=4e-3
+    # (measured ref-vs-ref, RESULTS r5), i.e. the old metric's bias was the
+    # same size as the number it reported. Regridding the converged ψ keeps
+    # the reference error at the cubic-interpolation scale (≪1e-4 on a
+    # smooth cloud) instead of the O(τ)+O(h²) oracle-bias scale.
+    from scipy.interpolate import RegularGridInterpolator
     x1 = np.linspace(spec.lb, spec.ub, args.n)
+    xo = np.linspace(spec.lb, spec.ub, args.oracle_n)
+    interp = RegularGridInterpolator((xo,) * 3, np.asarray(psi_ref),
+                                     method="cubic")
+    Xg = np.stack(np.meshgrid(x1, x1, x1, indexing="ij"), -1).reshape(-1, 3)
+    psi_ref_train = interp(Xg).reshape(args.n, args.n, args.n)
     psi_net = np.asarray(mlp.mlp_apply(params, batch["x"], spec.activation),
                          np.float64)
     psi_l2, psi_max = psi_errors_3d(psi_net, x1, psi_ref_train)
