@@ -209,8 +209,29 @@ def main(argv=None):
         r2_rest = sum(g ** 2 for g in grids[1:])
         V = 0.5 * (X ** 2 + r2_rest)
         t_end = args.periods * 2.0 * np.pi
-        dt = t_end / args.steps
-        rec = max(1, args.steps // 400)
+        steps = args.steps
+        dt = t_end / steps
+        # f32 parametric-resonance guard: modes whose per-step kinetic phase
+        # dt·c·k² reaches π are parametrically pumped by the nonlinear term
+        # (split_step.py docstring). In f64 the pumped corner modes start at
+        # the 1e-16 noise floor and stay invisible over a few trap periods;
+        # in f32 they start at ~1e-7 and explode (measured on-chip: energy
+        # drift 58× at dt=1.5×π/(c·k²_corner); CPU complex64 dt-sweep
+        # reproduces it and is clean at ≤1.0× — runs/probe_f32_breathing).
+        # Keep every mode below π with 10% margin; minimal bump only (f32
+        # rounding drift grows ∝ steps, so more steps is not free).
+        resonance_guard = None
+        kmax2_corner = dim * (np.pi / dx) ** 2
+        dt_safe = 0.9 * np.pi / (0.5 * kmax2_corner)
+        if args.f32 and dt > dt_safe:
+            steps = int(np.ceil(t_end / dt_safe))
+            resonance_guard = {"requested_steps": args.steps, "steps": steps,
+                               "dt_threshold_pi_over_ck2": float(
+                                   np.pi / (0.5 * kmax2_corner))}
+            dt = t_end / steps
+            print(f"f32 resonance guard: steps {args.steps} -> {steps} "
+                  f"(dt {dt:.3e} <= 0.9*pi/(c*k2_corner))", flush=True)
+        rec = max(1, steps // 400)
 
         # --- Kohn dipole: γ ground state in the displaced trap, released ---
         t0 = time.time()
@@ -219,7 +240,7 @@ def main(argv=None):
                                   tau=2e-3, steps=args.gs_steps, tol=1e-12)
         wall_gs = time.time() - t0
         t0 = time.time()
-        _, obs_k = evolve(np.asarray(psi_d), V, dx, dt, args.steps, gam,
+        _, obs_k = evolve(np.asarray(psi_d), V, dx, dt, steps, gam,
                           bc="periodic", lb=float(x1[0]), record_every=rec)
         # force completion for honest timing (tunnel backend: block_until_ready
         # does not synchronize — a scalar fetch does, CLAUDE.md)
@@ -232,7 +253,7 @@ def main(argv=None):
         mu_c, psi_c = ground_state(V, dx, gam, tau=2e-3,
                                    steps=args.gs_steps, tol=1e-12,
                                    psi0=np.abs(np.asarray(psi_d)))
-        _, obs_b = evolve(np.asarray(psi_c), V, dx, dt, args.steps,
+        _, obs_b = evolve(np.asarray(psi_c), V, dx, dt, steps,
                           args.quench * gam, bc="periodic", lb=float(x1[0]),
                           record_every=rec)
         w2 = np.asarray(obs_b["width_sq"]).sum(1)       # ⟨r²⟩ monopole
@@ -258,14 +279,14 @@ def main(argv=None):
             thr = timed_throughput(
                 lambda k: evolve(np.asarray(psi_c), V, dx, dt, k, gam,
                                  bc="periodic", lb=float(x1[0]),
-                                 record_every=k), n_pts, args.steps)
+                                 record_every=k), n_pts, steps)
         else:
-            thr = n_pts * args.steps / wall_k
+            thr = n_pts * steps / wall_k
 
         e_b = np.asarray(obs_b["energy"])
         summary = {
             "config": f"{dim}D TDGPE quench dynamics: {n}^{dim} grid, "
-                      f"γ={gam:g}, dt={dt:.2e}, {args.steps} Strang steps "
+                      f"γ={gam:g}, dt={dt:.2e}, {steps} Strang steps "
                       f"({args.periods:g} trap periods)",
             "mu_ground": float(mu_c),
             "kohn_dipole": {
@@ -283,6 +304,8 @@ def main(argv=None):
             "wall_ground_state_s": round(wall_gs, 1),
             "wall_evolve_s": round(wall_k, 1),
         }
+        if resonance_guard is not None:
+            summary["f32_resonance_guard"] = resonance_guard
 
     suffix = "" if dim == 2 else f"_{dim}d"
     on_device = args.f32 and backend != "cpu"
