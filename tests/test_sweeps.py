@@ -75,7 +75,11 @@ def test_cli_list(capsys):
         assert name in out
 
 
+@pytest.mark.slow
 def test_cli_helmholtz_smoke(tmp_path, capsys):
+    # slow tier: at ~100 s (GN polish compile dominates) this is the default
+    # tier's single largest test; the Helmholtz loss/trainer keep default-tier
+    # coverage in tests/test_helmholtz.py — this one exercises CLI wiring only
     # --out MUST be a tmp dir: the default writes runs/<name>/summary.json and
     # a 200-epoch smoke would clobber the committed full-run artifact
     from gpe_tpu.experiments.run import main
