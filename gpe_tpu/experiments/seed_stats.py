@@ -200,6 +200,15 @@ def run_seed_stats(family: str, modes=None, n_seeds: int = 6,
                       f"(range {mean_errs.min():.2e}–{mean_errs.max():.2e}, "
                       f"{per_mode[method]['wall_s']}s)", flush=True)
         out["modes"][str(mode)] = per_mode
+        # checkpoint after every mode: a queue timeout keeps the completed
+        # modes (reference_compare reads whatever modes are present)
+        out["partial"] = True
+        out["wall_s"] = round(time.time() - t0, 1)
+        path = out_path or f"runs/seed_stats_{family}.json"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+    out.pop("partial", None)
     out["wall_s"] = round(time.time() - t0, 1)
     path = out_path or f"runs/seed_stats_{family}.json"
     os.makedirs(os.path.dirname(path), exist_ok=True)
