@@ -468,7 +468,17 @@ def make_packed_value_and_grad(spec: GPESpec, n_runs: int,
     Same loss-shape eligibility gates otherwise; returns None if ineligible.
 
     interpret=True builds the kernels in interpret mode for CPU tests (and
-    skips the TPU-backend gate)."""
+    skips the TPU-backend gate).
+
+    The packed path KEEPS the exact-gradient default (relaxed stays env
+    opt-in), unlike the single-run `_resolve_relaxed` flip: the round-5
+    protocol-level A/B (`benchmarks/ab_packed_relaxed.py`,
+    `runs/ab_packed_relaxed/summary.json` — p3_harmonic modes 0-5
+    lane-packed at the full paper ramp) measured relaxed+fresh+extrapolate
+    at 1.5x the exact arm's mean oracle error (2.06e-3 vs 1.34e-3, max
+    |dmu| vs exact 0.021 > the exact arm's own 0.0076 max) — outside
+    training noise for the accuracy families the packed ensembles serve,
+    so the measured 1.15x/step (runs/ab_packed_ensemble) is not taken."""
     import os
 
     if relaxed is None:
